@@ -1,0 +1,28 @@
+"""srl_zoo_tpu — TPU-native State Representation Learning Zoo.
+
+A brand-new JAX/XLA/Pallas framework with the capabilities of the reference
+``araffin/srl-zoo`` (PyTorch, single-GPU): image encoders trained with a zoo of
+self-supervised objectives (autoencoder, beta-VAE, denoising AE, robotic priors,
+forward/inverse/reward dynamics, triplet, episode prior, reward prior, perceptual
+similarity, supervised, random features), combined with per-loss weights and
+per-loss state-dimension splits, evaluated with KNN-MSE and ground-truth
+correlation, and exported as npz states for downstream RL.
+
+Architecture (TPU-first, not a port):
+  * host pipeline ships uint8 NHWC batches; normalization happens on device
+    inside the jitted train step (4x less host->HBM traffic than f32 CHW),
+  * one jit-compiled functional ``train_step`` (optax Adam) replaces the
+    reference's per-minibatch Python loop (reference: models/learner.py),
+  * data parallelism over a ``jax.sharding.Mesh`` with XLA collectives on ICI
+    replaces single-device training (reference has none),
+  * Pallas TPU kernels for the hot non-conv ops (tiled pairwise distances for
+    KNN eval and priors losses).
+
+Reference citations in docstrings use upstream paths (e.g. ``losses/losses.py``)
+— see SURVEY.md provenance warning: the reference mount was empty, so no line
+numbers are possible.
+"""
+
+__version__ = "0.1.0"
+
+from srl_zoo_tpu.config import SRLConfig, parse_loss_arguments  # noqa: F401

@@ -1,0 +1,87 @@
+"""KNN-MSE: the zoo's headline quality metric.
+
+Reference: evaluation/knn_images.py — fit sklearn NearestNeighbors in the
+LEARNED state space; for each (sampled) query, take its k nearest learned
+neighbors and compute the MSE between their GROUND-TRUTH states and the
+query's; KNN-MSE is the mean over queries. Low = the learned space preserves
+ground-truth neighborhoods.
+
+TPU-native: the N x M distance matrix comes from the tiled Pallas pairwise
+kernel (ops/pairwise.py) instead of sklearn's host KD-tree — on 20k samples
+that is ~4e8 MXU FLOPs instead of a single-core tree walk. Falls back to
+exact XLA math off-TPU; sklearn remains only as a cross-check in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srl_zoo_tpu.ops.pairwise import pairwise_sqdist
+
+
+def knn_mse(learned_states: np.ndarray, ground_truth_states: np.ndarray,
+            k: int = 5, n_samples: Optional[int] = None,
+            seed: int = 0) -> Tuple[float, np.ndarray, np.ndarray]:
+    """Returns (knn_mse, query_indices, neighbor_indices (Q, k)).
+
+    ``n_samples`` limits the number of query points (reference samples a
+    subset for the image grids); None = every point is a query.
+    """
+    learned = np.asarray(learned_states, np.float32)
+    gt = np.asarray(ground_truth_states, np.float32)
+    n = len(learned)
+    if n_samples is not None and n_samples < n:
+        rng = np.random.RandomState(seed)
+        queries = rng.choice(n, size=n_samples, replace=False)
+    else:
+        queries = np.arange(n)
+
+    d2 = pairwise_sqdist(jnp.asarray(learned[queries]), jnp.asarray(learned))
+    # exclude self-matches: take k+1 smallest, drop the self column
+    _, idx = jax.lax.top_k(-d2, k + 1)
+    idx = np.asarray(jax.device_get(idx))
+    neighbor_idx = np.empty((len(queries), k), np.int64)
+    for row, q in enumerate(queries):
+        cand = [j for j in idx[row] if j != q][:k]
+        neighbor_idx[row] = cand
+
+    gt_q = gt[queries][:, None, :]          # (Q, 1, d)
+    gt_n = gt[neighbor_idx]                 # (Q, k, d)
+    score = float(np.mean(np.square(gt_q - gt_n)))
+    return score, queries, neighbor_idx
+
+
+def save_neighbor_grids(data_folder: str, images_path: np.ndarray,
+                        queries: np.ndarray, neighbor_idx: np.ndarray,
+                        out_folder: str, n_grids: int = 5) -> None:
+    """Save query-vs-neighbors image grids for visual inspection
+    (reference: knn_images.py image grid output)."""
+    import os
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from srl_zoo_tpu.data.loader import _decode_resize
+
+    os.makedirs(out_folder, exist_ok=True)
+    k = neighbor_idx.shape[1]
+    for g in range(min(n_grids, len(queries))):
+        fig, axes = plt.subplots(1, k + 1, figsize=(2 * (k + 1), 2.4))
+        ids = [queries[g]] + list(neighbor_idx[g])
+        titles = ["query"] + [f"nn{j + 1}" for j in range(k)]
+        for ax, i, title in zip(axes, ids, titles):
+            path = os.path.join(data_folder, str(images_path[i]))
+            try:
+                ax.imshow(_decode_resize(path, (224, 224)))
+            except FileNotFoundError:
+                ax.text(0.5, 0.5, "no image", ha="center")
+            ax.set_title(title, fontsize=8)
+            ax.axis("off")
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_folder, f"knn_grid_{g}.png"), dpi=80)
+        plt.close(fig)

@@ -1,0 +1,189 @@
+"""One pure function per SRL objective.
+
+Reference: losses/losses.py — autoEncoderLoss, vaeLoss (+ kullbackLeiblerLoss,
+generationLoss), daeLoss, roboticPriorsLoss (temporal/causality/
+proportionality/repeatability), forwardModelLoss, inverseModelLoss,
+rewardModelLoss, tripletLoss, episodePriorLoss, rewardPriorLoss,
+perceptualSimilarityLoss, l1Loss/l2Loss. Formulas follow SURVEY.md §2.6; the
+reference mount was empty, so reductions (mean vs sum) are explicit design
+decisions, locked in by the golden-parity tests.
+
+All pair-based losses take fixed-size partner index arrays + validity masks
+(static shapes; see data/samplers.py) and use masked means.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _masked_mean(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(values * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.square(a.astype(jnp.float32) - b.astype(jnp.float32)))
+
+
+# ---- reconstruction ----------------------------------------------------------
+def autoencoder_loss(recon: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Pixel MSE (reference: autoEncoderLoss)."""
+    return mse(recon, target)
+
+
+def dae_loss(recon: jnp.ndarray, clean_target: jnp.ndarray) -> jnp.ndarray:
+    """Denoising AE: reconstruct the CLEAN frame from the occluded input
+    (occlusion applied on-device before encoding; reference: daeLoss)."""
+    return mse(recon, clean_target)
+
+
+def kl_divergence(mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
+    """KL(q(z|x) || N(0, I)), mean over batch and latent dims
+    (reference: kullbackLeiblerLoss)."""
+    mu = mu.astype(jnp.float32)
+    logvar = logvar.astype(jnp.float32)
+    return -0.5 * jnp.mean(1.0 + logvar - jnp.square(mu) - jnp.exp(logvar))
+
+
+def vae_loss(recon: jnp.ndarray, target: jnp.ndarray, mu: jnp.ndarray,
+             logvar: jnp.ndarray, beta: float) -> jnp.ndarray:
+    """beta-VAE: pixel MSE + beta * KL (reference: vaeLoss; generationLoss is
+    the recon term). KL is computed on the VAE's state slice."""
+    return mse(recon, target) + beta * kl_divergence(mu, logvar)
+
+
+# ---- robotic priors ----------------------------------------------------------
+def robotic_priors_loss(state: jnp.ndarray, next_state: jnp.ndarray,
+                        same_action_partners: jnp.ndarray,
+                        same_action_mask: jnp.ndarray,
+                        dissimilar_partners: jnp.ndarray,
+                        dissimilar_mask: jnp.ndarray):
+    """The 4 robotic priors of Jonschkowski & Brock (reference:
+    roboticPriorsLoss):
+
+      temporal     = E[ |s' - s|^2 ]
+      causality    = E[ exp(-|s_i - s_j|^2) ]           (same action, diff reward)
+      proportional = E[ (|ds_i| - |ds_j|)^2 ]            (same action)
+      repeatable   = E[ exp(-|s_i - s_j|^2) |ds_i - ds_j|^2 ]  (same action)
+
+    Returns (total, dict of the 4 terms).
+    """
+    s = state.astype(jnp.float32)
+    sn = next_state.astype(jnp.float32)
+    ds = sn - s
+
+    temporal = jnp.mean(jnp.sum(jnp.square(ds), axis=-1))
+
+    s_d = jnp.take(s, dissimilar_partners, axis=0)
+    causality = _masked_mean(
+        jnp.exp(-jnp.sum(jnp.square(s - s_d), axis=-1)), dissimilar_mask)
+
+    s_p = jnp.take(s, same_action_partners, axis=0)
+    ds_p = jnp.take(ds, same_action_partners, axis=0)
+    norm_ds = jnp.linalg.norm(ds, axis=-1)
+    norm_ds_p = jnp.linalg.norm(ds_p, axis=-1)
+    proportionality = _masked_mean(
+        jnp.square(norm_ds - norm_ds_p), same_action_mask)
+
+    sim = jnp.exp(-jnp.sum(jnp.square(s - s_p), axis=-1))
+    repeatability = _masked_mean(
+        sim * jnp.sum(jnp.square(ds - ds_p), axis=-1), same_action_mask)
+
+    terms = {
+        "priors/temporal": temporal,
+        "priors/causality": causality,
+        "priors/proportionality": proportionality,
+        "priors/repeatability": repeatability,
+    }
+    return temporal + causality + proportionality + repeatability, terms
+
+
+# ---- dynamics heads ------------------------------------------------------------
+def forward_model_loss(pred_next: jnp.ndarray, next_state: jnp.ndarray) -> jnp.ndarray:
+    """MSE on the predicted next state slice (reference: forwardModelLoss)."""
+    return mse(pred_next, next_state)
+
+
+def _cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+
+def inverse_model_loss(logits: jnp.ndarray, actions: jnp.ndarray) -> jnp.ndarray:
+    """CE over discrete actions (reference: inverseModelLoss)."""
+    return _cross_entropy(logits, actions)
+
+
+def reward_model_loss(logits: jnp.ndarray, reward_classes: jnp.ndarray) -> jnp.ndarray:
+    """CE over reward classes; class imbalance is handled by the loader's
+    balanced sampling (reference: rewardModelLoss + overSampling)."""
+    return _cross_entropy(logits, reward_classes)
+
+
+# ---- metric / prior losses ------------------------------------------------------
+def triplet_loss(anchor: jnp.ndarray, positive: jnp.ndarray,
+                 negative: jnp.ndarray, margin: float = 1.0) -> jnp.ndarray:
+    """max(0, d(a,p) - d(a,n) + margin) with euclidean d
+    (reference: tripletLoss, multi-view anchor/positive + distant negative)."""
+    a = anchor.astype(jnp.float32)
+    d_pos = jnp.linalg.norm(a - positive.astype(jnp.float32), axis=-1)
+    d_neg = jnp.linalg.norm(a - negative.astype(jnp.float32), axis=-1)
+    return jnp.mean(jnp.maximum(d_pos - d_neg + margin, 0.0))
+
+
+def reward_prior_loss(state: jnp.ndarray, rewards: jnp.ndarray) -> jnp.ndarray:
+    """Encourage state dims to covary with reward: maximize the squared
+    batch covariance between each state dim and the (centered) reward.
+    [UPSTREAM-MEM L — documented design decision; reference: rewardPriorLoss]
+    """
+    s = state.astype(jnp.float32)
+    r = rewards.astype(jnp.float32)
+    s_c = s - jnp.mean(s, axis=0, keepdims=True)
+    r_c = r - jnp.mean(r)
+    cov = jnp.mean(s_c * r_c[:, None], axis=0)
+    return -jnp.mean(jnp.square(cov))
+
+
+def episode_prior_losses(disc_logits_d: jnp.ndarray,
+                         disc_logits_e: jnp.ndarray,
+                         labels: jnp.ndarray):
+    """Adversarial episode prior (reference: episodePriorLoss).
+
+    The discriminator learns to tell same-episode pairs apart
+    (BCE vs labels, encoder gradients blocked); the encoder is trained to
+    FOOL it (BCE vs flipped labels, discriminator gradients blocked).
+    Returns (discriminator_loss, encoder_loss).
+    """
+    def bce(logits, y):
+        logits = logits.astype(jnp.float32)
+        return jnp.mean(jnp.maximum(logits, 0) - logits * y
+                        + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    return bce(disc_logits_d, labels), bce(disc_logits_e, 1.0 - labels)
+
+
+def perceptual_similarity_loss(feat_recon: jnp.ndarray,
+                               feat_target: jnp.ndarray) -> jnp.ndarray:
+    """MSE in a frozen pretrained-DAE feature space (DARLA-style;
+    reference: perceptualSimilarityLoss with --path-to-dae)."""
+    return mse(feat_recon, feat_target)
+
+
+def supervised_loss(state: jnp.ndarray, gt_states: jnp.ndarray) -> jnp.ndarray:
+    """MSE to ground-truth states (reference: models/supervised.py)."""
+    return mse(state, gt_states)
+
+
+# ---- parameter regularizers ------------------------------------------------------
+def l1_regularization(params) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(params)
+    total = sum(jnp.sum(jnp.abs(p)) for p in leaves)
+    n = sum(p.size for p in leaves)
+    return total / n
+
+
+def l2_regularization(params) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(params)
+    total = sum(jnp.sum(jnp.square(p)) for p in leaves)
+    n = sum(p.size for p in leaves)
+    return total / n

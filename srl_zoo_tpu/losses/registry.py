@@ -1,0 +1,124 @@
+"""Weighted loss assembly — the functional LossManager.
+
+Reference: losses/losses.py ``LossManager`` registers weighted loss terms and
+accumulates per-loss history. Here the registry is a pure function evaluated
+inside the jitted train step: it returns (total, metrics) where metrics carries
+every individual term for the loss-history npz and metrics.jsonl.
+
+Per-loss state-slice routing (SRL Splits) happens here: each objective reads
+its static ``(start, size)`` slice of the state vector (reference:
+models/modules.py SRLModulesSplit).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+
+from srl_zoo_tpu.config import SRLConfig
+from srl_zoo_tpu.losses import functions as F
+
+
+def _sl(x: jnp.ndarray, sl: Tuple[int, int]) -> jnp.ndarray:
+    start, size = sl
+    return x[..., start:start + size]
+
+
+def compute_total_loss(cfg: SRLConfig,
+                       outputs: Dict[str, jnp.ndarray],
+                       batch: Dict[str, jnp.ndarray],
+                       target_obs: jnp.ndarray,
+                       params,
+                       extras: Dict[str, jnp.ndarray] | None = None):
+    """Assemble the weighted total loss.
+
+    Args:
+      outputs: SRLModules.__call__ outputs (states, recon, head logits, ...).
+      batch: device batch (actions, reward classes, pair indices, masks, ...).
+      target_obs: normalized CLEAN observation (reconstruction target).
+      params: model params, for l1/l2 regularization.
+      extras: precomputed adversarial/perceptual tensors
+        (disc_logits_d/disc_logits_e for episode-prior, feat_recon/feat_target
+        for perceptual) — computed in the train step because they need extra
+        applies / frozen networks.
+    """
+    extras = extras or {}
+    slices = cfg.slices
+    weights = cfg.loss_dict
+    metrics: Dict[str, jnp.ndarray] = {}
+    total = jnp.float32(0.0)
+
+    def add(name: str, value: jnp.ndarray):
+        nonlocal total
+        metrics[name] = value
+        total = total + weights[name] * value
+
+    state = outputs["state"]
+    next_state = outputs.get("next_state")
+
+    if "autoencoder" in weights:
+        add("autoencoder", F.autoencoder_loss(outputs["recon"], target_obs))
+    if "dae" in weights:
+        add("dae", F.dae_loss(outputs["recon"], target_obs))
+    if "vae" in weights:
+        sl = slices["vae"]
+        add("vae", F.vae_loss(outputs["recon"], target_obs,
+                              _sl(outputs["mu"], sl),
+                              _sl(outputs["logvar"], sl), cfg.beta))
+    if "perceptual" in weights:
+        add("perceptual", F.perceptual_similarity_loss(
+            extras["feat_recon"], extras["feat_target"]))
+    if "priors" in weights:
+        sl = slices["priors"]
+        value, terms = F.robotic_priors_loss(
+            _sl(state, sl), _sl(next_state, sl),
+            batch["same_action_partners"], batch["same_action_mask"],
+            batch["dissimilar_partners"], batch["dissimilar_mask"])
+        metrics.update(terms)
+        add("priors", value)
+    if "forward" in weights:
+        sl = slices["forward"]
+        add("forward", F.forward_model_loss(outputs["forward_pred"],
+                                            _sl(next_state, sl)))
+    if "inverse" in weights:
+        add("inverse", F.inverse_model_loss(outputs["inverse_logits"],
+                                            batch["actions"]))
+    if "reward" in weights:
+        add("reward", F.reward_model_loss(outputs["reward_logits"],
+                                          batch["reward_classes"]))
+    if "triplet" in weights:
+        sl = slices["triplet"]
+        add("triplet", F.triplet_loss(_sl(state, sl),
+                                      _sl(outputs["pos_state"], sl),
+                                      _sl(outputs["neg_state"], sl)))
+    if "episode-prior" in weights:
+        d_loss, e_loss = F.episode_prior_losses(
+            extras["disc_logits_d"], extras["disc_logits_e"],
+            batch["episode_labels"])
+        metrics["episode-prior/discriminator"] = d_loss
+        # discriminator trains at weight 1, encoder fooling at the loss weight
+        metrics["episode-prior"] = e_loss
+        total = total + d_loss + weights["episode-prior"] * e_loss
+    if "reward-prior" in weights:
+        sl = slices["reward-prior"]
+        add("reward-prior", F.reward_prior_loss(_sl(state, sl),
+                                                batch["rewards"]))
+    if "supervised" in weights:
+        sl = slices["supervised"]
+        add("supervised", F.supervised_loss(_sl(state, sl),
+                                            batch["gt_states"]))
+    if "random" in weights:
+        metrics["random"] = jnp.float32(0.0)
+
+    if cfg.l1_reg > 0:
+        l1 = F.l1_regularization(params)
+        metrics["l1_reg"] = l1
+        total = total + cfg.l1_reg * l1
+    if cfg.l2_reg > 0:
+        l2 = F.l2_regularization(params)
+        metrics["l2_reg"] = l2
+        total = total + cfg.l2_reg * l2
+
+    metrics["total"] = total
+    return total, metrics

@@ -1,0 +1,52 @@
+"""Mesh construction and sharding helpers for data-parallel training."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, Any]:
+    """device_put every batch array with its leading axis sharded over the
+    mesh. Arrays whose leading dim is not the batch are replicated."""
+    bs = batch_sharding(mesh)
+    rep = replicated_sharding(mesh)
+    n_dev = mesh.devices.size
+    out = {}
+    for k, v in batch.items():
+        sh = bs if (v.ndim >= 1 and v.shape[0] % n_dev == 0) else rep
+        out[k] = jax.device_put(v, sh)
+    return out
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host (DCN) attach point. On a single host this is a no-op; on a
+    pod each host calls it before building the mesh, then feeds its local
+    shard of every batch (jax.make_array_from_process_local_data)."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)

@@ -1,0 +1,74 @@
+"""Representation scatter plots + correlation heatmap.
+
+Reference: plotting/representation_plot.py — 2D/3D scatter of learned states
+colored by reward (PCA projection when state_dim > 3, used live during
+training and from the CLI) and the --correlation heatmap.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def _project(states: np.ndarray, max_dim: int = 3) -> np.ndarray:
+    """PCA-project to <= max_dim dims when needed (reference behavior for
+    state_dim > 3)."""
+    if states.shape[1] <= max_dim:
+        return states
+    centered = states - states.mean(axis=0)
+    _, _, vt = np.linalg.svd(centered, full_matrices=False)
+    return centered @ vt[:max_dim].T
+
+
+def plot_representation(states: np.ndarray, rewards: np.ndarray,
+                        save_path: Optional[str] = None,
+                        title: str = "Learned state representation"):
+    """Scatter of learned states colored by reward; 1D/2D/3D aware."""
+    states = np.asarray(states)
+    rewards = np.asarray(rewards).reshape(-1)
+    proj = _project(states)
+    fig = plt.figure(figsize=(6, 5))
+    if proj.shape[1] >= 3:
+        ax = fig.add_subplot(111, projection="3d")
+        sc = ax.scatter(proj[:, 0], proj[:, 1], proj[:, 2], c=rewards,
+                        cmap="coolwarm", s=6)
+    elif proj.shape[1] == 2:
+        ax = fig.add_subplot(111)
+        sc = ax.scatter(proj[:, 0], proj[:, 1], c=rewards, cmap="coolwarm", s=6)
+    else:
+        ax = fig.add_subplot(111)
+        sc = ax.scatter(np.arange(len(proj)), proj[:, 0], c=rewards,
+                        cmap="coolwarm", s=6)
+    fig.colorbar(sc, ax=ax, label="reward")
+    ax.set_title(title)
+    fig.tight_layout()
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path, dpi=100)
+    plt.close(fig)
+    return fig
+
+
+def plot_correlation(corr: np.ndarray, save_path: Optional[str] = None,
+                     title: str = "Learned vs ground-truth correlation"):
+    """Heatmap of the (D_learned, D_gt) correlation matrix
+    (reference: plotCorrelation / --correlation)."""
+    fig, ax = plt.subplots(figsize=(6, 5))
+    im = ax.imshow(np.abs(corr), cmap="viridis", vmin=0, vmax=1,
+                   aspect="auto")
+    ax.set_xlabel("ground-truth dim")
+    ax.set_ylabel("learned state dim")
+    ax.set_title(title)
+    fig.colorbar(im, ax=ax, label="|Pearson r|")
+    fig.tight_layout()
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path, dpi=100)
+    plt.close(fig)
+    return fig

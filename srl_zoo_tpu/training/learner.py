@@ -1,0 +1,213 @@
+"""SRL4robotics — the training runtime.
+
+Reference: models/learner.py ``SRL4robotics(BaseLearner)`` — owns the model,
+Adam optimizer, epoch/minibatch loop, per-epoch priors pair sampling,
+validation split + best-model checkpointing, loss-history logging, and full
+dataset state export (``predStatesWithDataLoader``).
+
+TPU-first rework: the epoch loop feeds a single donated jit train step over a
+data-parallel mesh; batches arrive uint8 and sharded; the loader prefetches in
+a background thread while the device computes.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from srl_zoo_tpu.config import SRLConfig
+from srl_zoo_tpu.data.loader import DataLoader
+from srl_zoo_tpu.data.schema import Dataset
+from srl_zoo_tpu.parallel.mesh import (make_mesh, replicated_sharding,
+                                       shard_batch)
+from srl_zoo_tpu.training import checkpoint as ckpt
+from srl_zoo_tpu.training.metrics import MetricsLogger
+from srl_zoo_tpu.training.state import create_train_state
+from srl_zoo_tpu.training.train_step import build_steps
+from srl_zoo_tpu.utils import printGreen, printYellow, set_global_seeds
+
+
+def _mean_metrics(acc: Dict[str, list]) -> Dict[str, float]:
+    return {k: float(np.mean(v)) for k, v in acc.items()}
+
+
+class SRL4robotics:
+    """Build / learn / predict / save — the reference's learner surface."""
+
+    def __init__(self, cfg: SRLConfig, log_folder: Optional[str] = None,
+                 mesh=None):
+        self.cfg = cfg
+        self.log_folder = log_folder or cfg.log_folder or "logs/default"
+        set_global_seeds(cfg.seed)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.rng = jax.random.PRNGKey(cfg.seed)
+        self.rng, init_rng = jax.random.split(self.rng)
+        self.model, self.state, self.tx = create_train_state(cfg, init_rng)
+
+        dae_feature_fn = None
+        if cfg.path_to_dae:
+            dae_feature_fn = self._build_frozen_dae(cfg.path_to_dae)
+        self.train_step, self.eval_step, self.encode_step = build_steps(
+            cfg, self.model, self.tx, dae_feature_fn=dae_feature_fn)
+
+        # replicate the train state across the mesh
+        rep = replicated_sharding(self.mesh)
+        self.state = jax.device_put(self.state, rep)
+
+    # ---- frozen DAE for perceptual similarity --------------------------------
+    @staticmethod
+    def _build_frozen_dae(path_to_dae: str) -> Callable:
+        """Load a previously trained (D)AE and return a frozen feature fn
+        (reference: perceptualSimilarityLoss + --path-to-dae)."""
+        from srl_zoo_tpu.models.srl_modules import SRLModules
+        dae_cfg = SRLConfig.load(path_to_dae)
+        dae_model, dae_state, _ = ckpt.load_srl_model(path_to_dae, dae_cfg)
+        variables = {"params": jax.lax.stop_gradient(dae_state.params),
+                     "batch_stats": dae_state.batch_stats}
+
+        def feature_fn(normalized_images):
+            return dae_model.apply(variables, normalized_images, train=False,
+                                   method=SRLModules.encode)
+        return feature_fn
+
+    # ---- training -------------------------------------------------------------
+    def learn(self, dataset: Dataset,
+              epoch_callback: Optional[Callable] = None) -> Dict[str, float]:
+        """Train on (obs, next_obs) transitions; returns final val metrics.
+
+        Mirrors reference SRL4robotics.learn: train/val split, per-epoch pair
+        resampling (inside the loader), best-val model export.
+        """
+        cfg = self.cfg
+        if cfg.use_supervised:
+            sup_dim = cfg.slices["supervised"][1]
+            gt_dim = dataset.ground_truth_states.shape[1]
+            if sup_dim != gt_dim:
+                raise ValueError(
+                    f"supervised loss slice has size {sup_dim} but ground "
+                    f"truth has {gt_dim} dims — use --state-dim/splits to match")
+
+        indices = dataset.training_indices()
+        split_rng = np.random.RandomState(cfg.seed)
+        indices = indices[split_rng.permutation(len(indices))]
+        if cfg.training_set_size > 0:
+            indices = indices[:cfg.training_set_size]
+        n_val = int(len(indices) * cfg.val_size)
+        val_idx, train_idx = indices[:n_val], indices[n_val:]
+        printGreen(f"{len(train_idx)} training / {len(val_idx)} validation "
+                   f"samples, batch size {cfg.batch_size}")
+
+        logger = MetricsLogger(self.log_folder)
+        best_val = float("inf")
+        best_params = (jax.device_get(self.state.params),
+                       jax.device_get(self.state.batch_stats))
+
+        if cfg.only_random_features:
+            printYellow("random features only — skipping training")
+            ckpt.save_srl_model(self.log_folder, *best_params)
+            logger.save_history()
+            logger.close()
+            return {"total": 0.0}
+
+        train_loader = DataLoader(dataset, train_idx, cfg, shuffle=True,
+                                  seed=cfg.seed, wraparound=True)
+        val_loader = DataLoader(dataset, val_idx, cfg, shuffle=False,
+                                seed=cfg.seed, wraparound=True) \
+            if len(val_idx) else None
+
+        self.rng, train_rng, eval_rng = jax.random.split(self.rng, 3)
+        step = int(jax.device_get(self.state.step))
+        val_metrics: Dict[str, float] = {}
+        for epoch in range(cfg.epochs):
+            t_epoch = time.time()
+            acc: Dict[str, list] = {}
+            n_images = 0
+            for batch in train_loader:
+                sharded = shard_batch(batch, self.mesh)
+                self.state, metrics = self.train_step(self.state, sharded,
+                                                      train_rng)
+                step += 1
+                n_images += len(batch["valid"])
+                for k, v in jax.device_get(metrics).items():
+                    acc.setdefault(k, []).append(float(v))
+            train_metrics = _mean_metrics(acc)
+            dt = time.time() - t_epoch
+            ips = n_images / max(dt, 1e-9)
+
+            if val_loader is not None:
+                vacc: Dict[str, list] = {}
+                for batch in val_loader:
+                    sharded = shard_batch(batch, self.mesh)
+                    metrics = self.eval_step(self.state, sharded, eval_rng)
+                    for k, v in jax.device_get(metrics).items():
+                        vacc.setdefault(k, []).append(float(v))
+                val_metrics = _mean_metrics(vacc)
+            else:
+                val_metrics = train_metrics
+
+            logger.log_epoch(epoch, train_metrics, val_metrics)
+            logger.log_step(step, {f"train/{k}": v
+                                   for k, v in train_metrics.items()},
+                            epoch=epoch, images_per_sec=ips)
+            printGreen(f"Epoch {epoch + 1}/{cfg.epochs} "
+                       f"train {train_metrics['total']:.4f} "
+                       f"val {val_metrics['total']:.4f} "
+                       f"({ips:.0f} img/s)")
+
+            if val_metrics["total"] < best_val:
+                best_val = val_metrics["total"]
+                best_params = (jax.device_get(self.state.params),
+                               jax.device_get(self.state.batch_stats))
+                ckpt.save_srl_model(self.log_folder, *best_params)
+            ckpt.save_train_state(self.log_folder, self.state)
+            if epoch_callback is not None:
+                epoch_callback(self, epoch, train_metrics, val_metrics)
+
+        # keep the best-val weights for export (reference behavior)
+        rep = replicated_sharding(self.mesh)
+        self.state = self.state.replace(
+            params=jax.device_put(best_params[0], rep),
+            batch_stats=jax.device_put(best_params[1], rep))
+        ckpt.save_srl_model(self.log_folder, *best_params)
+        logger.save_history()
+        logger.close()
+        printGreen(f"Best validation loss: {best_val:.4f}")
+        return val_metrics
+
+    # ---- inference / export ----------------------------------------------------
+    def predict_states(self, dataset: Dataset,
+                       indices: Optional[np.ndarray] = None) -> np.ndarray:
+        """Deterministic states for (a subset of) the dataset — the npz export
+        path for downstream RL (reference: predStatesWithDataLoader)."""
+        cfg = self.cfg
+        if indices is None:
+            indices = np.arange(dataset.n_samples, dtype=np.int32)
+        loader = DataLoader(dataset, indices, cfg, shuffle=False,
+                            seed=0, wraparound=False)
+        out = []
+        for batch in loader:
+            obs = jax.device_put(batch["obs"],
+                                 replicated_sharding(self.mesh))
+            states = jax.device_get(self.encode_step(self.state, obs))
+            valid = batch["valid"] > 0
+            out.append(states[valid])
+        return np.concatenate(out, axis=0)
+
+    # alias for the reference method name
+    predStatesWithDataLoader = predict_states
+
+    @classmethod
+    def load(cls, log_folder: str) -> "SRL4robotics":
+        """Reload a trained model from its log folder (exp_config.json +
+        srl_model.msgpack)."""
+        cfg = SRLConfig.load(log_folder)
+        learner = cls(cfg, log_folder=log_folder)
+        _, state, _ = ckpt.load_srl_model(log_folder, cfg)
+        learner.state = jax.device_put(
+            learner.state.replace(params=state.params,
+                                  batch_stats=state.batch_stats),
+            replicated_sharding(learner.mesh))
+        return learner

@@ -1,0 +1,52 @@
+"""Metrics: per-step jsonl + per-epoch loss history npz.
+
+Reference: models/learner.py accumulates per-loss history and saves it as an
+npz for plotting/losses_plot.py. The rebuild keeps that artifact and adds a
+flat ``metrics.jsonl`` (step, per-loss values, images/sec/chip) —
+SURVEY.md §5 observability row.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import defaultdict
+from typing import Dict
+
+import numpy as np
+
+
+class MetricsLogger:
+    def __init__(self, log_folder: str):
+        self.log_folder = log_folder
+        os.makedirs(log_folder, exist_ok=True)
+        self._jsonl = open(os.path.join(log_folder, "metrics.jsonl"), "a")
+        self.history: Dict[str, list] = defaultdict(list)
+        self._t0 = time.time()
+
+    def log_step(self, step: int, metrics: Dict[str, float], **extra) -> None:
+        rec = {"step": int(step), "time": round(time.time() - self._t0, 3)}
+        rec.update({k: float(v) for k, v in metrics.items()})
+        rec.update({k: (float(v) if isinstance(v, (int, float)) else v)
+                    for k, v in extra.items()})
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
+
+    def log_epoch(self, epoch: int, train_metrics: Dict[str, float],
+                  val_metrics: Dict[str, float]) -> None:
+        self.history["epoch"].append(epoch)
+        for k, v in train_metrics.items():
+            self.history[f"train/{k}"].append(float(v))
+        for k, v in val_metrics.items():
+            self.history[f"val/{k}"].append(float(v))
+
+    def save_history(self) -> str:
+        """Write the loss-history npz the plotting CLI consumes
+        (reference loss history artifact)."""
+        path = os.path.join(self.log_folder, "loss_history.npz")
+        np.savez(path, **{k: np.asarray(v) for k, v in self.history.items()})
+        return path
+
+    def close(self) -> None:
+        self._jsonl.close()

@@ -1,0 +1,134 @@
+"""Jitted train/eval/encode steps (the hot path).
+
+Reference: the per-minibatch loop body of models/learner.py — forward both
+observations, accumulate weighted losses, backward, Adam step (SURVEY.md
+§3.1 hot loop). Rebuilt as a single functional step:
+
+  train_step(state, batch, rng) -> (state, metrics)
+
+* uint8 batches are normalized (and DAE-occluded) on device — fused by XLA
+  into the first conv,
+* one model apply computes every active output (single BatchNorm update),
+* the episode-prior's adversarial pair is realized with parameter-subtree
+  stop-gradients (discriminator learns on detached states; encoder fools a
+  frozen-for-this-term discriminator) — one optimizer step updates both,
+* state is donated (no HBM copy per step); batch arrives sharded over the
+  data mesh, XLA inserts the gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from srl_zoo_tpu.config import SRLConfig
+from srl_zoo_tpu.losses.registry import compute_total_loss
+from srl_zoo_tpu.models.srl_modules import SRLModules
+from srl_zoo_tpu.ops.preproc import normalize_images, occlude
+from srl_zoo_tpu.training.state import TrainState
+
+
+def _slice_cols(x: jnp.ndarray, sl) -> jnp.ndarray:
+    start, size = sl
+    return x[..., start:start + size]
+
+
+def build_steps(cfg: SRLConfig, model: SRLModules, tx,
+                dae_feature_fn: Optional[Callable] = None):
+    """Returns (train_step, eval_step, encode_step), all jit-compiled.
+
+    ``dae_feature_fn(normalized_images) -> features`` is the frozen
+    pretrained-DAE encoder for the perceptual-similarity loss.
+    """
+    if "perceptual" in cfg.loss_dict and dae_feature_fn is None:
+        raise ValueError("perceptual loss requires a frozen DAE "
+                         "(--path-to-dae)")
+
+    norm = lambda u8: normalize_images(u8, cfg.normalize_mode)
+
+    def _model_inputs(batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        """Normalize on device; build the SRLModules.__call__ args."""
+        obs = norm(batch["obs"])
+        next_obs = norm(batch["next_obs"]) if cfg.needs_next_obs else None
+        actions = batch["actions"] if cfg.use_forward else None
+        pos = norm(batch["pos_obs"]) if cfg.use_triplet else None
+        neg = norm(batch["neg_obs"]) if cfg.use_triplet else None
+        occluded = None
+        if cfg.use_dae:
+            occluded = occlude(rng, obs, cfg.occlusion_percentage)
+        return obs, (obs, next_obs, actions, pos, neg, occluded)
+
+    def _extras(variables, params, outputs, batch,
+                target_obs) -> Dict[str, jnp.ndarray]:
+        extras: Dict[str, jnp.ndarray] = {}
+        if cfg.use_episode_prior:
+            sl = cfg.slices["episode-prior"]
+            s1 = _slice_cols(outputs["state"], sl)
+            s2 = jnp.take(s1, batch["episode_partners"], axis=0)
+            sg = jax.lax.stop_gradient
+            # discriminator learns on detached states
+            extras["disc_logits_d"] = model.apply(
+                variables, sg(s1), sg(s2), method=SRLModules.discriminate)
+            # encoder fools a gradient-frozen discriminator
+            params_frozen_d = dict(params)
+            params_frozen_d["discriminator"] = jax.tree_util.tree_map(
+                sg, params["discriminator"])
+            vars_frozen = dict(variables)
+            vars_frozen["params"] = params_frozen_d
+            extras["disc_logits_e"] = model.apply(
+                vars_frozen, s1, s2, method=SRLModules.discriminate)
+        if "perceptual" in cfg.loss_dict:
+            extras["feat_recon"] = dae_feature_fn(outputs["recon"])
+            extras["feat_target"] = dae_feature_fn(target_obs)
+        return extras
+
+    def _loss_fn(params, batch_stats, batch, rng, train: bool):
+        occl_rng, sample_rng = jax.random.split(jax.random.fold_in(rng, 1))
+        target_obs, args = _model_inputs(batch, occl_rng)
+        variables = {"params": params, "batch_stats": batch_stats}
+        rngs = {"sampling": sample_rng} if (cfg.use_vae and train) else {}
+        if train:
+            outputs, mutated = model.apply(variables, *args, train=True,
+                                           rngs=rngs,
+                                           mutable=["batch_stats"])
+            new_batch_stats = mutated.get("batch_stats", batch_stats)
+        else:
+            outputs = model.apply(variables, *args, train=False, rngs=rngs)
+            new_batch_stats = batch_stats
+        extras = _extras(variables, params, outputs, batch, target_obs)
+        total, metrics = compute_total_loss(cfg, outputs, batch, target_obs,
+                                            params, extras)
+        return total, (metrics, new_batch_stats)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        rng = jax.random.fold_in(rng, state.step)
+        grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+        (_, (metrics, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng, True)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        return new_state, metrics
+
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                  rng: jax.Array) -> Dict[str, jnp.ndarray]:
+        _, (metrics, _) = _loss_fn(state.params, state.batch_stats, batch,
+                                   rng, False)
+        return metrics
+
+    def encode_step(state: TrainState, obs_u8: jnp.ndarray) -> jnp.ndarray:
+        """Deterministic states for export (reference:
+        predStatesWithDataLoader / SRLModules.getStates)."""
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return model.apply(variables, norm(obs_u8), train=False,
+                           method=SRLModules.encode)
+
+    train_step = jax.jit(train_step, donate_argnums=(0,))
+    eval_step = jax.jit(eval_step)
+    encode_step = jax.jit(encode_step)
+    return train_step, eval_step, encode_step

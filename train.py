@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Train an SRL model — the reference CLI surface, TPU-native engine.
+
+Reference: train.py of araffin/srl-zoo — parses the ``--losses
+name[:weight[:split_dim]]`` flags, loads the npz dataset, builds SRL4robotics,
+runs .learn(), exports states_rewards.npz + exp_config.json + loss history.
+
+Example:
+  python train.py --data-folder data/mobile_robot --losses autoencoder \
+      --state-dim 200 -bs 32 --epochs 30
+  python train.py --data-folder data/kuka --losses autoencoder:1:100 \
+      inverse:10:100 --state-dim 200 --model-type resnet
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import sys
+
+import numpy as np
+
+from srl_zoo_tpu.config import build_config, parse_loss_arguments
+from srl_zoo_tpu.data.schema import load_dataset, save_states_rewards
+from srl_zoo_tpu.evaluation.gtc import ground_truth_correlation
+from srl_zoo_tpu.plotting.representation_plot import (plot_correlation,
+                                                      plot_representation)
+from srl_zoo_tpu.training.learner import SRL4robotics
+from srl_zoo_tpu.utils import (createFolder, parseDataFolder, printGreen,
+                               printYellow, set_global_seeds)
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(
+        description="State Representation Learning with a zoo of objectives "
+                    "(TPU-native rebuild of srl-zoo train.py)")
+    parser.add_argument("--data-folder", type=str, required=True,
+                        help="Dataset folder (data/<name> or <name>)")
+    parser.add_argument("--losses", nargs="+", type=str,
+                        default=["autoencoder"],
+                        help="Losses as name[:weight[:split_dim]]")
+    parser.add_argument("--model-type", type=str, default="custom_cnn",
+                        choices=["custom_cnn", "resnet", "mlp", "linear"])
+    parser.add_argument("--state-dim", type=int, default=2)
+    parser.add_argument("-bs", "--batch-size", type=int, default=32)
+    parser.add_argument("--epochs", type=int, default=30)
+    parser.add_argument("-lr", "--learning-rate", type=float, default=5e-3)
+    parser.add_argument("--seed", type=int, default=1)
+    parser.add_argument("--val-size", type=float, default=0.2)
+    parser.add_argument("--training-set-size", type=int, default=-1,
+                        help="Limit the number of training samples (-1 = all)")
+    parser.add_argument("--l1-reg", type=float, default=0.0)
+    parser.add_argument("--l2-reg", type=float, default=0.0)
+    parser.add_argument("--beta", type=float, default=1.0,
+                        help="beta for the beta-VAE KL term")
+    parser.add_argument("--occlusion-percentage", type=float, default=0.5,
+                        help="DAE occlusion fraction")
+    parser.add_argument("--multi-view", action="store_true",
+                        help="Use two camera views (6-channel input / triplet)")
+    parser.add_argument("--balanced-sampling", action="store_true",
+                        help="Oversample rare reward classes")
+    parser.add_argument("--inverse-model-type", type=str, default="linear",
+                        choices=["linear", "mlp"])
+    parser.add_argument("--path-to-dae", type=str, default="",
+                        help="Log folder of a pretrained DAE "
+                             "(perceptual loss)")
+    parser.add_argument("--log-folder", type=str, default="",
+                        help="Where to write the run (default: "
+                             "logs/<dataset>/<timestamp>_<model>_<losses>)")
+    parser.add_argument("--num-cpu", type=int, default=4,
+                        help="Loader worker threads")
+    parser.add_argument("--no-display-plots", action="store_true",
+                        help="Kept for reference-CLI compatibility "
+                             "(plots are always written to files)")
+    parser.add_argument("--dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="Compute dtype for conv/matmul (MXU)")
+    return parser.parse_args(argv)
+
+
+def default_log_folder(dataset_name: str, model_type: str,
+                       loss_names) -> str:
+    ts = datetime.datetime.now().strftime("%y-%m-%d_%Hh%M_%S")
+    exp = f"{ts}_{model_type}_{'_'.join(loss_names)}"
+    return os.path.join("logs", dataset_name, exp)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    set_global_seeds(args.seed)
+
+    dataset_name = parseDataFolder(args.data_folder)
+    data_folder = args.data_folder if os.path.isdir(args.data_folder) \
+        else os.path.join("data", dataset_name)
+    if not os.path.isdir(data_folder):
+        printYellow(f"Dataset folder not found: {data_folder}")
+        sys.exit(1)
+
+    dataset = load_dataset(data_folder)
+    losses, split_dims = parse_loss_arguments(args.losses, args.state_dim)
+
+    log_folder = args.log_folder or default_log_folder(
+        dataset_name, args.model_type, list(losses))
+    createFolder(log_folder, f"Log folder {log_folder} already exists")
+    args.log_folder = log_folder
+    args.data_folder = data_folder
+
+    # image geometry from the dataset's fast path (falls back to 224x224)
+    img_shape = None
+    if dataset.frames is not None:
+        img_shape = tuple(dataset.frames.shape[1:])
+    cfg = build_config(args, losses, split_dims,
+                       n_actions=dataset.n_actions,
+                       n_reward_classes=dataset.n_reward_classes,
+                       img_shape=img_shape)
+    cfg.save(log_folder)
+    printGreen(f"Training {cfg.model_type} with losses "
+               f"{dict(cfg.losses)} -> {log_folder}")
+
+    learner = SRL4robotics(cfg, log_folder=log_folder)
+    learner.learn(dataset)
+
+    # ---- export: states for the WHOLE dataset + plots (reference contract) ----
+    states = learner.predict_states(dataset)
+    save_states_rewards(log_folder, states, dataset.rewards)
+    printGreen(f"Saved states_rewards.npz ({states.shape})")
+
+    plot_representation(states, dataset.rewards,
+                        os.path.join(log_folder, "states.png"))
+    gtc, corr = ground_truth_correlation(states, dataset.ground_truth_states)
+    plot_correlation(corr, os.path.join(log_folder, "correlation.png"))
+    printGreen(f"GTC score: {gtc:.4f}")
+    with open(os.path.join(log_folder, "gtc.txt"), "w") as f:
+        f.write(f"{gtc:.6f}\n")
+    return log_folder
+
+
+if __name__ == "__main__":
+    main()
