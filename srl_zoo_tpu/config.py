@@ -158,7 +158,12 @@ class SRLConfig:
 
     @property
     def n_channels(self) -> int:
-        return 6 if self.multi_view else 3
+        """Encoder input channels: two stacked views (6) for multi-view SRL,
+        but 3 for triplet (the embedding net runs per view; reference:
+        models/triplet.py vs the 6-channel stacks of data_loader.py)."""
+        if self.multi_view and not self.use_triplet:
+            return 6
+        return 3
 
     @property
     def use_decoder(self) -> bool:

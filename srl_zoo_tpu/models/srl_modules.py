@@ -156,4 +156,13 @@ class SRLModules(nn.Module):
             neg_mu, _ = self._encode_raw(neg_obs, train)
             out["pos_state"], out["neg_state"] = pos_mu, neg_mu
 
+        if cfg.use_episode_prior:
+            # Touch the discriminator so lazy init creates its params; the
+            # loss-bearing logits are computed in the train step via
+            # ``discriminate`` (two applies with parameter-subtree
+            # stop-gradients for the adversarial game).
+            sl = cfg.slices["episode-prior"]
+            s = slice_state(state, sl)
+            out["disc_probe"] = self.discriminator(s, s)
+
         return out
