@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""End-to-end pipeline: preprocess -> train (grid) -> evaluate.
+
+Reference: pipeline.py of araffin/srl-zoo — validates the dataset, runs
+preprocessing if needed, launches train.py over an experiment grid
+(losses x state-dim x model), runs the KNN eval per experiment, and writes
+per-experiment log folders logs/<dataset>/<timestamp>_<model>_<losses>/ with
+exp_config.json. Stages communicate via the filesystem (npz + JSON), the
+contract downstream robotics-rl-srl consumes; the rebuild keeps that contract
+but runs stages in-process (no subprocess fork per stage needed).
+
+Usage:
+  python pipeline.py --data-folder data/mobile_robot \
+      --losses autoencoder vae --state-dims 8 32 --model-types custom_cnn
+  python pipeline.py --exp-config configs/grid.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import os
+
+from srl_zoo_tpu.utils import parseDataFolder, printGreen, printRed, printYellow
+
+
+def check_dataset(data_folder: str, img_size: int) -> None:
+    """Validate / build the dataset npz schema (preprocess stage)."""
+    from srl_zoo_tpu.preprocessing.preprocess import (build_frames_cache,
+                                                      preprocess_folder)
+    if not os.path.isdir(data_folder):
+        raise FileNotFoundError(
+            f"Dataset folder {data_folder} not found — record or download a "
+            "dataset first")
+    if not os.path.exists(os.path.join(data_folder, "preprocessed_data.npz")):
+        printYellow("preprocessed_data.npz missing — running preprocessing")
+        preprocess_folder(data_folder)
+    if not os.path.exists(os.path.join(data_folder, "frames.npy")):
+        try:
+            build_frames_cache(data_folder, img_size)
+        except Exception as e:  # jpg-less synthetic datasets keep working
+            printYellow(f"frames cache not built: {e}")
+
+
+def run_experiment(data_folder: str, losses, state_dim: int, model_type: str,
+                   args) -> dict:
+    """One grid cell: train + knn eval + reward probe, all in-process."""
+    import train as train_cli
+    from srl_zoo_tpu.evaluation import knn_images, predict_reward
+
+    flags = ["--data-folder", data_folder,
+             "--losses", *losses,
+             "--state-dim", str(state_dim),
+             "--model-type", model_type,
+             "--epochs", str(args.epochs),
+             "-bs", str(args.batch_size),
+             "--seed", str(args.seed),
+             "--val-size", str(args.val_size),
+             "--training-set-size", str(args.training_set_size)]
+    if args.multi_view:
+        flags.append("--multi-view")
+    if args.dtype != "float32":
+        flags += ["--dtype", args.dtype]
+    log_folder = train_cli.main(flags)
+
+    knn = knn_images.main(["--log-folder", log_folder,
+                           "--n-grids", "0" if args.no_grids else "3"])
+    acc = predict_reward.main(["--log-folder", log_folder])
+    with open(os.path.join(log_folder, "gtc.txt")) as f:
+        gtc = float(f.read().strip())
+    return {"log_folder": log_folder, "losses": list(losses),
+            "state_dim": state_dim, "model_type": model_type,
+            "knn_mse": knn, "gtc": gtc, "reward_accuracy": acc}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="SRL experiment pipeline "
+                                            "(reference: pipeline.py)")
+    p.add_argument("--data-folder", type=str, default="")
+    p.add_argument("--losses", nargs="+", action="append", default=None,
+                   help="One experiment per --losses group, e.g. "
+                        "--losses autoencoder --losses vae priors")
+    p.add_argument("--state-dims", nargs="+", type=int, default=[8])
+    p.add_argument("--model-types", nargs="+", type=str,
+                   default=["custom_cnn"])
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("-bs", "--batch-size", type=int, default=32)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--val-size", type=float, default=0.2)
+    p.add_argument("--training-set-size", type=int, default=-1)
+    p.add_argument("--multi-view", action="store_true")
+    p.add_argument("--img-size", type=int, default=224)
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--no-grids", action="store_true",
+                   help="Skip neighbor image grids")
+    p.add_argument("--exp-config", type=str, default="",
+                   help="JSON grid config (overrides the flags above)")
+    args = p.parse_args(argv)
+
+    if args.exp_config:
+        with open(args.exp_config) as f:
+            grid = json.load(f)
+        args.data_folder = grid.get("data-folder", args.data_folder)
+        loss_groups = grid.get("losses", [["autoencoder"]])
+        args.state_dims = grid.get("state-dims", args.state_dims)
+        args.model_types = grid.get("model-types", args.model_types)
+        args.epochs = grid.get("epochs", args.epochs)
+        args.batch_size = grid.get("batch-size", args.batch_size)
+        args.seed = grid.get("seed", args.seed)
+    else:
+        loss_groups = args.losses or [["autoencoder"]]
+
+    if not args.data_folder:
+        printRed("--data-folder (or --exp-config with data-folder) required")
+        raise SystemExit(1)
+
+    dataset_name = os.path.basename(parseDataFolder(args.data_folder))
+    data_folder = args.data_folder if os.path.isdir(args.data_folder) \
+        else os.path.join("data", dataset_name)
+    check_dataset(data_folder, args.img_size)
+
+    results = []
+    for losses, state_dim, model_type in itertools.product(
+            loss_groups, args.state_dims, args.model_types):
+        printGreen(f"\n=== Experiment: {model_type} dim={state_dim} "
+                   f"losses={losses} ===")
+        results.append(run_experiment(data_folder, losses, state_dim,
+                                      model_type, args))
+
+    report_dir = os.path.join("logs", dataset_name)
+    os.makedirs(report_dir, exist_ok=True)
+    report_path = os.path.join(report_dir, "pipeline_report.json")
+    with open(report_path, "w") as f:
+        json.dump(results, f, indent=2)
+    printGreen("\n=== Pipeline summary (KNN-MSE lower is better) ===")
+    for r in sorted(results, key=lambda r: r["knn_mse"]):
+        printGreen(f"  {r['model_type']:>10} dim={r['state_dim']:<4} "
+                   f"{'+'.join(r['losses']):<30} knn={r['knn_mse']:.5f} "
+                   f"gtc={r['gtc']:.3f} rew_acc={r['reward_accuracy']:.3f}")
+    printGreen(f"Report: {report_path}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

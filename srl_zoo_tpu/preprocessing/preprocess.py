@@ -1,0 +1,125 @@
+"""Offline dataset preprocessing.
+
+Reference: preprocessing/preprocess.py — walks per-episode ``record_*``
+folders of a recorded dataset, concatenates per-episode arrays into
+``preprocessed_data.npz`` (actions, rewards, episode_starts) and
+``ground_truth.npz`` (states, image paths), discretizing rewards.
+
+TPU-native addition: ``build_frames_cache`` decodes every JPEG once at the
+training resolution into a single ``frames.npy`` uint8 memmap — after this,
+epochs never touch the JPEG decoder again (the reference re-decodes every
+image every epoch in worker processes; SURVEY.md §3.3).
+
+Usage:
+  python -m srl_zoo_tpu.preprocessing.preprocess --data-folder data/foo \
+      [--img-size 224] [--no-frames-cache]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from srl_zoo_tpu.utils import printGreen, printYellow
+
+
+def preprocess_folder(data_folder: str) -> None:
+    """Concatenate per-episode ``record_*/episode_data.npz`` files into the
+    training schema. Each episode npz must hold ``actions`` (T,), ``rewards``
+    (T,) and ``ground_truth_states`` (T, d); frames are the sorted
+    ``frame*.jpg`` files of the same folder."""
+    records = sorted(glob.glob(os.path.join(data_folder, "record_*")))
+    if not records:
+        raise FileNotFoundError(f"No record_* folders in {data_folder}")
+
+    actions, rewards, episode_starts, states, images = [], [], [], [], []
+    for rec in records:
+        ep_file = os.path.join(rec, "episode_data.npz")
+        if not os.path.exists(ep_file):
+            printYellow(f"Skipping {rec} (no episode_data.npz)")
+            continue
+        ep = np.load(ep_file)
+        frames = sorted(glob.glob(os.path.join(rec, "frame*.jpg"))) + \
+            sorted(glob.glob(os.path.join(rec, "frame*.png")))
+        t = len(ep["actions"])
+        if len(frames) < t:
+            raise ValueError(f"{rec}: {len(frames)} frames for {t} steps")
+        actions.append(np.asarray(ep["actions"], np.int32))
+        rewards.append(np.asarray(ep["rewards"], np.float32))
+        starts = np.zeros(t, bool)
+        starts[0] = True
+        episode_starts.append(starts)
+        states.append(np.asarray(ep["ground_truth_states"], np.float32))
+        images.extend(os.path.relpath(f, data_folder) for f in frames[:t])
+
+    np.savez(os.path.join(data_folder, "preprocessed_data.npz"),
+             actions=np.concatenate(actions),
+             rewards=np.concatenate(rewards),
+             episode_starts=np.concatenate(episode_starts))
+    np.savez(os.path.join(data_folder, "ground_truth.npz"),
+             ground_truth_states=np.concatenate(states),
+             images_path=np.asarray(images))
+    printGreen(f"Wrote preprocessed_data.npz + ground_truth.npz "
+               f"({len(images)} samples, {len(records)} episodes)")
+
+
+def build_frames_cache(data_folder: str, img_size: int = 224,
+                       view_suffix: str = "") -> str:
+    """Decode every dataset image once into ``frames{suffix}.npy``
+    (N, img_size, img_size, 3) uint8 — the loader's zero-decode fast path."""
+    import cv2
+
+    gt = np.load(os.path.join(data_folder, "ground_truth.npz"),
+                 allow_pickle=True)
+    key = "images_path" + ("_2" if view_suffix else "")
+    paths = np.asarray(gt[key]).astype(str)
+    out_path = os.path.join(data_folder, f"frames{view_suffix}.npy")
+    n = len(paths)
+    out = np.lib.format.open_memmap(out_path, mode="w+", dtype=np.uint8,
+                                    shape=(n, img_size, img_size, 3))
+
+    def work(i):
+        p = os.path.join(data_folder, paths[i])
+        if not os.path.exists(p):
+            p = os.path.join(os.path.dirname(data_folder.rstrip("/")), paths[i])
+        img = cv2.imread(p, cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(p)
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        if img.shape[:2] != (img_size, img_size):
+            img = cv2.resize(img, (img_size, img_size),
+                             interpolation=cv2.INTER_AREA)
+        out[i] = img
+
+    with ThreadPoolExecutor(max_workers=min(16, (os.cpu_count() or 1) * 4)) as ex:
+        list(ex.map(work, range(n)))
+    out.flush()
+    printGreen(f"Wrote {out_path} ({n} frames @ {img_size}x{img_size})")
+    return out_path
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Preprocess a recorded dataset")
+    p.add_argument("--data-folder", type=str, required=True)
+    p.add_argument("--img-size", type=int, default=224)
+    p.add_argument("--no-frames-cache", action="store_true",
+                   help="Skip building the frames.npy decode cache")
+    args = p.parse_args(argv)
+
+    if not os.path.exists(os.path.join(args.data_folder,
+                                       "preprocessed_data.npz")):
+        preprocess_folder(args.data_folder)
+    else:
+        printYellow("preprocessed_data.npz already present — skipping "
+                    "episode concatenation")
+    if not args.no_frames_cache and \
+            not os.path.exists(os.path.join(args.data_folder, "frames.npy")):
+        build_frames_cache(args.data_folder, args.img_size)
+
+
+if __name__ == "__main__":
+    main()
