@@ -254,7 +254,8 @@ class SRLConfig:
         os.makedirs(log_folder, exist_ok=True)
         path = os.path.join(log_folder, "exp_config.json")
         with open(path, "w") as f:
-            json.dump(self.to_exp_config(), f, indent=2, sort_keys=True)
+            # no sort_keys: the order of the losses dict is the split layout
+            json.dump(self.to_exp_config(), f, indent=2)
         return path
 
     @classmethod

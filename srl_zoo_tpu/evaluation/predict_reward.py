@@ -30,7 +30,7 @@ def predict_reward_accuracy(states: np.ndarray, rewards: np.ndarray,
     x_tr, x_te, y_tr, y_te = train_test_split(
         states, classes, test_size=test_size, random_state=seed,
         stratify=classes if np.min(np.bincount(classes)) > 1 else None)
-    clf = LogisticRegression(max_iter=2000, multi_class="auto")
+    clf = LogisticRegression(max_iter=2000)
     clf.fit(x_tr, y_tr)
     return float(clf.score(x_te, y_te))
 

@@ -1,0 +1,117 @@
+"""Host loader: static shapes, transition validity, per-loss batch fields."""
+
+import numpy as np
+
+from srl_zoo_tpu.config import SRLConfig
+from srl_zoo_tpu.data.loader import DataLoader
+
+
+def _cfg(ds, losses=(("autoencoder", 1.0),), **kw):
+    defaults = dict(state_dim=4, img_height=32, img_width=32, batch_size=8,
+                    losses=losses,
+                    split_dims=tuple((n, -1) for n, _ in losses),
+                    n_actions=ds.n_actions,
+                    n_reward_classes=ds.n_reward_classes)
+    defaults.update(kw)
+    return SRLConfig(**defaults)
+
+
+def test_training_indices_skip_episode_ends(synthetic_dataset):
+    ds = synthetic_dataset
+    idx = ds.training_indices()
+    # no index may point at an episode-final frame
+    assert not np.any(ds.episode_starts[idx + 1])
+    assert idx.max() < ds.n_samples - 1
+
+
+def test_static_shapes_and_wraparound(synthetic_dataset):
+    ds = synthetic_dataset
+    cfg = _cfg(ds)
+    idx = ds.training_indices()[:20]  # 20 samples, batch 8 -> 2 full + 1 wrap
+    loader = DataLoader(ds, idx, cfg, shuffle=True, seed=0, wraparound=True)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 3
+    for b in batches:
+        assert b["obs"].shape == (8, 32, 32, 3)
+        assert b["obs"].dtype == np.uint8
+        assert b["valid"].sum() == 8
+
+
+def test_padded_final_batch(synthetic_dataset):
+    ds = synthetic_dataset
+    cfg = _cfg(ds)
+    idx = np.arange(10, dtype=np.int32)
+    loader = DataLoader(ds, idx, cfg, shuffle=False, seed=0, wraparound=False)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[1]["valid"].sum() == 2  # 10 = 8 + 2
+    # padded entries flagged invalid
+    assert np.all(batches[1]["valid"][2:] == 0)
+
+
+def test_next_obs_is_successor_frame(synthetic_dataset):
+    ds = synthetic_dataset
+    cfg = _cfg(ds, losses=(("forward", 1.0),))
+    idx = ds.training_indices()[:8]
+    batch = next(iter(DataLoader(ds, idx, cfg, shuffle=False, seed=0)))
+    assert "next_obs" in batch
+    for k, i in enumerate(batch["indices"]):
+        np.testing.assert_array_equal(batch["next_obs"][k], ds.frames[i + 1])
+        np.testing.assert_array_equal(batch["obs"][k], ds.frames[i])
+
+
+def test_priors_batch_fields(synthetic_dataset):
+    ds = synthetic_dataset
+    cfg = _cfg(ds, losses=(("priors", 1.0),))
+    batch = next(iter(DataLoader(ds, ds.training_indices()[:16], cfg,
+                                 shuffle=False, seed=0)))
+    b = cfg.batch_size
+    for key in ("same_action_partners", "same_action_mask",
+                "dissimilar_partners", "dissimilar_mask"):
+        assert batch[key].shape == (b,)
+    acts = batch["actions"]
+    for i in range(b):
+        if batch["same_action_mask"][i]:
+            assert acts[batch["same_action_partners"][i]] == acts[i]
+
+
+def test_multiview_six_channels(synthetic_dataset_mv):
+    ds = synthetic_dataset_mv
+    cfg = _cfg(ds, losses=(("autoencoder", 1.0),), multi_view=True)
+    batch = next(iter(DataLoader(ds, ds.training_indices()[:8], cfg,
+                                 shuffle=False, seed=0)))
+    assert batch["obs"].shape == (8, 32, 32, 6)
+
+
+def test_triplet_batch(synthetic_dataset_mv):
+    ds = synthetic_dataset_mv
+    cfg = _cfg(ds, losses=(("triplet", 1.0),), multi_view=True)
+    batch = next(iter(DataLoader(ds, ds.training_indices()[:8], cfg,
+                                 shuffle=False, seed=0)))
+    assert batch["obs"].shape == (8, 32, 32, 3)
+    assert batch["pos_obs"].shape == (8, 32, 32, 3)
+    assert batch["neg_obs"].shape == (8, 32, 32, 3)
+    # positive is the second view of the SAME frame
+    for k, i in enumerate(batch["indices"]):
+        np.testing.assert_array_equal(batch["pos_obs"][k], ds.frames_2[i])
+
+
+def test_episode_prior_batch(synthetic_dataset):
+    ds = synthetic_dataset
+    cfg = _cfg(ds, losses=(("episode-prior", 1.0),))
+    batch = next(iter(DataLoader(ds, ds.training_indices()[:8], cfg,
+                                 shuffle=False, seed=0)))
+    ep_all = ds.episode_ids
+    ep = ep_all[batch["indices"]]
+    for i in range(8):
+        j = batch["episode_partners"][i]
+        assert batch["episode_labels"][i] == float(ep[j] == ep[i])
+
+
+def test_loader_determinism(synthetic_dataset):
+    ds = synthetic_dataset
+    cfg = _cfg(ds)
+    idx = ds.training_indices()
+    b1 = list(DataLoader(ds, idx, cfg, shuffle=True, seed=7))
+    b2 = list(DataLoader(ds, idx, cfg, shuffle=True, seed=7))
+    np.testing.assert_array_equal(b1[0]["indices"], b2[0]["indices"])

@@ -1,0 +1,82 @@
+"""Device ops: normalization round trip, occlusion, Pallas pairwise kernel."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srl_zoo_tpu.ops.pairwise import _pairwise_pallas, _pairwise_xla, pairwise_sqdist
+from srl_zoo_tpu.ops.preproc import (denormalize_images, gaussian_noise,
+                                     normalize_images, occlude)
+
+
+def test_normalize_tf_range():
+    obs = jnp.array([[[[0, 128, 255]]]], jnp.uint8)
+    x = normalize_images(obs, "tf")
+    assert np.isclose(x[0, 0, 0, 0], -1.0)
+    assert np.isclose(x[0, 0, 0, 2], 1.0)
+
+
+def test_normalize_round_trip():
+    rng = np.random.RandomState(0)
+    obs = jnp.asarray(rng.randint(0, 256, (2, 8, 8, 3), dtype=np.uint8))
+    for mode in ("tf", "image_net"):
+        x = normalize_images(obs, mode)
+        back = denormalize_images(x, mode)
+        assert np.allclose(np.asarray(back) * 255.0, np.asarray(obs),
+                           atol=0.51), mode
+
+
+def test_normalize_imagenet_stats():
+    obs = jnp.full((1, 2, 2, 3), 255, jnp.uint8)
+    x = normalize_images(obs, "image_net")
+    expected = (1.0 - np.array([0.485, 0.456, 0.406])) / \
+        np.array([0.229, 0.224, 0.225])
+    assert np.allclose(np.asarray(x)[0, 0, 0], expected, rtol=1e-4)
+
+
+def test_occlusion_area_fraction():
+    obs = jnp.ones((4, 32, 32, 3))
+    out = occlude(jax.random.PRNGKey(0), obs, 0.25)
+    frac = 1.0 - np.asarray(out).mean()
+    assert 0.15 < frac < 0.35  # ~25% of pixels zeroed per image
+
+
+def test_occlusion_zero_keeps_most():
+    obs = jnp.ones((2, 32, 32, 3))
+    out = occlude(jax.random.PRNGKey(0), obs, 0.01)
+    assert np.asarray(out).mean() > 0.95
+
+
+def test_gaussian_noise_stats():
+    x = jnp.zeros((1, 64, 64, 3))
+    noisy = gaussian_noise(jax.random.PRNGKey(0), x, 0.5)
+    assert abs(float(noisy.std()) - 0.5) < 0.05
+
+
+def _np_pairwise(x, y):
+    return ((x[:, None, :] - y[None, :, :]) ** 2).sum(-1)
+
+
+def test_pairwise_xla_matches_numpy(rng):
+    x = rng.randn(17, 5).astype(np.float32)
+    y = rng.randn(23, 5).astype(np.float32)
+    got = np.asarray(_pairwise_xla(jnp.asarray(x), jnp.asarray(y)))
+    assert np.allclose(got, _np_pairwise(x, y), atol=1e-4)
+
+
+def test_pairwise_pallas_interpret_matches_numpy(rng):
+    """The Pallas kernel (interpret mode on CPU) agrees with numpy, including
+    non-tile-aligned shapes."""
+    x = rng.randn(30, 7).astype(np.float32)
+    y = rng.randn(300, 7).astype(np.float32)
+    got = np.asarray(_pairwise_pallas(jnp.asarray(x), jnp.asarray(y),
+                                      interpret=True))
+    assert got.shape == (30, 300)
+    assert np.allclose(got, _np_pairwise(x, y), atol=1e-3)
+
+
+def test_pairwise_dispatch_cpu(rng):
+    x = rng.randn(9, 3).astype(np.float32)
+    got = np.asarray(pairwise_sqdist(jnp.asarray(x), jnp.asarray(x)))
+    assert np.allclose(np.diag(got), 0.0, atol=1e-5)
+    assert np.allclose(got, _np_pairwise(x, x), atol=1e-4)

@@ -1,0 +1,100 @@
+"""Multi-device without a cluster (SURVEY.md §4.4): the DP mesh path on 8
+virtual CPU devices must agree with single-device training on the same
+global batch."""
+
+import jax
+import numpy as np
+
+from srl_zoo_tpu.config import SRLConfig
+from srl_zoo_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                       replicated_sharding, shard_batch)
+from srl_zoo_tpu.training.state import create_train_state
+from srl_zoo_tpu.training.train_step import build_steps
+
+
+def _cfg(b):
+    return SRLConfig(state_dim=8, img_height=32, img_width=32, batch_size=b,
+                     losses=(("autoencoder", 1.0), ("inverse", 1.0)),
+                     split_dims=(("autoencoder", -1), ("inverse", -1)),
+                     n_actions=4, n_reward_classes=3)
+
+
+def _batch(b, rng):
+    return {
+        "obs": rng.randint(0, 255, (b, 32, 32, 3), dtype=np.uint8),
+        "next_obs": rng.randint(0, 255, (b, 32, 32, 3), dtype=np.uint8),
+        "actions": rng.randint(0, 4, (b,)).astype(np.int32),
+        "reward_classes": rng.randint(0, 3, (b,)).astype(np.int32),
+        "rewards": rng.randn(b).astype(np.float32),
+        "valid": np.ones(b, np.float32),
+        "indices": np.arange(b, dtype=np.int32),
+    }
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def _one_step(devices, batch):
+    """One SGD step (SGD, not Adam: Adam's first-step update is
+    ~lr*sign(grad), which amplifies benign reduction-order float noise and
+    would make cross-mesh comparison meaningless)."""
+    import optax
+
+    cfg = _cfg(len(batch["valid"]))
+    mesh = make_mesh(devices)
+    model, state, _ = create_train_state(cfg, jax.random.PRNGKey(0))
+    tx = optax.sgd(0.1)
+    state = state.replace(opt_state=tx.init(state.params))
+    train_step, eval_step, _ = build_steps(cfg, model, tx)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    sharded = shard_batch(batch, mesh)
+    state, metrics = train_step(state, sharded, jax.random.PRNGKey(42))
+    return (jax.device_get(metrics["total"]),
+            jax.device_get(state.params))
+
+
+def test_dp_mesh_matches_single_device(rng):
+    batch = _batch(16, rng)
+    loss_1, params_1 = _one_step(jax.devices()[:1], batch)
+    loss_8, params_8 = _one_step(jax.devices()[:8], batch)
+    assert np.allclose(loss_1, loss_8, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(params_1),
+                    jax.tree_util.tree_leaves(params_8)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_batch_sharding_layout(rng):
+    mesh = make_mesh(jax.devices())
+    batch = _batch(16, rng)
+    sharded = shard_batch(batch, mesh)
+    sh = sharded["obs"].sharding
+    assert sh == batch_sharding(mesh)
+    # each device holds 1/8 of the batch
+    shard_shape = sh.shard_shape(sharded["obs"].shape)
+    assert shard_shape[0] == 2
+
+
+def test_priors_pair_gather_across_shards(rng):
+    """Partner gathers cross device boundaries (global batch semantics)."""
+    b = 16
+    cfg = SRLConfig(state_dim=4, img_height=32, img_width=32, batch_size=b,
+                    losses=(("priors", 1.0),),
+                    split_dims=(("priors", -1),), n_actions=4)
+    batch = _batch(b, rng)
+    # partner i <-> b-1-i: every gather crosses shards on an 8-way mesh
+    batch["same_action_partners"] = (b - 1 - np.arange(b)).astype(np.int32)
+    batch["same_action_mask"] = np.ones(b, np.float32)
+    batch["dissimilar_partners"] = (b - 1 - np.arange(b)).astype(np.int32)
+    batch["dissimilar_mask"] = np.ones(b, np.float32)
+
+    results = []
+    for devs in (jax.devices()[:1], jax.devices()[:8]):
+        mesh = make_mesh(devs)
+        model, state, tx = create_train_state(cfg, jax.random.PRNGKey(0))
+        train_step, _, _ = build_steps(cfg, model, tx)
+        state = jax.device_put(state, replicated_sharding(mesh))
+        _, metrics = train_step(state, shard_batch(batch, mesh),
+                                jax.random.PRNGKey(1))
+        results.append(float(jax.device_get(metrics["total"])))
+    assert np.allclose(results[0], results[1], rtol=1e-5)

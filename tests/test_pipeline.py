@@ -1,0 +1,99 @@
+"""Integration: CLIs end to end on the synthetic dataset (SURVEY.md §4.3)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from srl_zoo_tpu.data.synthetic import generate_dataset
+
+
+@pytest.fixture(scope="module")
+def ds_folder(tmp_path_factory):
+    folder = str(tmp_path_factory.mktemp("pipe") / "synth")
+    generate_dataset(folder, n_episodes=3, episode_len=16, img_size=32,
+                     seed=0)
+    return folder
+
+
+def test_train_cli_end_to_end(ds_folder, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import train as train_cli
+    log = str(tmp_path / "log_ae")
+    train_cli.main(["--data-folder", ds_folder, "--losses", "autoencoder",
+                    "--state-dim", "4", "-bs", "8", "--epochs", "1",
+                    "--log-folder", log, "--seed", "1"])
+    assert os.path.exists(os.path.join(log, "states_rewards.npz"))
+    assert os.path.exists(os.path.join(log, "exp_config.json"))
+    sr = np.load(os.path.join(log, "states_rewards.npz"))
+    assert sr["states"].shape == (48, 4)
+    assert len(sr["rewards"]) == 48
+
+    from srl_zoo_tpu.evaluation import knn_images, predict_reward
+    score = knn_images.main(["--log-folder", log, "--n-grids", "0"])
+    assert np.isfinite(score)
+    acc = predict_reward.main(["--log-folder", log])
+    assert 0.0 <= acc <= 1.0
+
+    from srl_zoo_tpu.evaluation import predict_dataset
+    path = predict_dataset.main(["--log-folder", log, "-n", "10"])
+    sr2 = np.load(path)
+    assert sr2["states"].shape == (10, 4)
+
+
+def test_pipeline_cli_grid(ds_folder, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import pipeline as pipeline_cli
+    results = pipeline_cli.main(
+        ["--data-folder", ds_folder, "--losses", "autoencoder",
+         "--state-dims", "4", "--epochs", "1", "-bs", "8", "--no-grids"])
+    assert len(results) == 1
+    r = results[0]
+    assert {"knn_mse", "gtc", "reward_accuracy"} <= set(r)
+    report = tmp_path / "logs" / "synth" / "pipeline_report.json"
+    assert report.exists()
+    assert json.loads(report.read_text())[0]["losses"] == ["autoencoder"]
+
+
+def test_losses_plot_cli(ds_folder, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import train as train_cli
+    log = str(tmp_path / "log_plot")
+    train_cli.main(["--data-folder", ds_folder, "--losses", "vae",
+                    "--state-dim", "4", "-bs", "8", "--epochs", "1",
+                    "--log-folder", log, "--seed", "1"])
+    from srl_zoo_tpu.plotting import losses_plot
+    losses_plot.main(["--log-folder", log])
+    assert os.path.exists(os.path.join(log, "losses.png"))
+
+
+def test_preprocess_cli(tmp_path):
+    """record_* episodes -> npz schema -> trainable dataset."""
+    import cv2
+
+    data = tmp_path / "raw"
+    rng = np.random.RandomState(0)
+    for ep in range(2):
+        rec = data / f"record_{ep:03d}"
+        rec.mkdir(parents=True)
+        t = 6
+        np.savez(rec / "episode_data.npz",
+                 actions=rng.randint(0, 4, t),
+                 rewards=rng.randint(-1, 2, t).astype(np.float32),
+                 ground_truth_states=rng.randn(t, 2).astype(np.float32))
+        for i in range(t):
+            img = rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+            cv2.imwrite(str(rec / f"frame{i:06d}.jpg"), img)
+
+    from srl_zoo_tpu.preprocessing.preprocess import main as pp_main
+    pp_main(["--data-folder", str(data), "--img-size", "32"])
+    assert (data / "preprocessed_data.npz").exists()
+    assert (data / "ground_truth.npz").exists()
+    assert (data / "frames.npy").exists()
+
+    from srl_zoo_tpu.data.schema import load_dataset
+    ds = load_dataset(str(data))
+    assert ds.n_samples == 12
+    assert ds.frames.shape == (12, 32, 32, 3)
+    assert ds.episode_starts.sum() == 2

@@ -1,0 +1,79 @@
+"""Training runtime: loss decreases, export/reload parity, resume."""
+
+import jax
+import numpy as np
+
+from srl_zoo_tpu.config import SRLConfig
+from srl_zoo_tpu.training import checkpoint as ckpt
+from srl_zoo_tpu.training.learner import SRL4robotics
+
+
+def _cfg(ds, tmp_path, losses=(("autoencoder", 1.0),), epochs=2, **kw):
+    defaults = dict(state_dim=4, img_height=32, img_width=32, batch_size=16,
+                    epochs=epochs, learning_rate=3e-3,
+                    losses=losses,
+                    split_dims=tuple((n, -1) for n, _ in losses),
+                    n_actions=ds.n_actions,
+                    n_reward_classes=ds.n_reward_classes,
+                    data_folder=ds.data_folder,
+                    log_folder=str(tmp_path / "run"))
+    defaults.update(kw)
+    return SRLConfig(**defaults)
+
+
+def test_ae_loss_decreases(synthetic_dataset, tmp_path):
+    cfg = _cfg(synthetic_dataset, tmp_path, epochs=3)
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    learner.learn(synthetic_dataset)
+    hist = np.load(tmp_path / "run" / "loss_history.npz")
+    train_total = hist["train/total"]
+    assert train_total[-1] < train_total[0] * 0.9
+
+
+def test_export_and_reload_same_states(synthetic_dataset, tmp_path):
+    cfg = _cfg(synthetic_dataset, tmp_path, epochs=1)
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    learner.learn(synthetic_dataset)
+    cfg.save(cfg.log_folder)
+    states = learner.predict_states(synthetic_dataset)
+    assert states.shape == (synthetic_dataset.n_samples, cfg.state_dim)
+
+    reloaded = SRL4robotics.load(cfg.log_folder)
+    states2 = reloaded.predict_states(synthetic_dataset)
+    np.testing.assert_allclose(states, states2, rtol=1e-4, atol=1e-5)
+
+
+def test_resume_checkpoint_round_trip(synthetic_dataset, tmp_path):
+    cfg = _cfg(synthetic_dataset, tmp_path, epochs=1)
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    learner.learn(synthetic_dataset)
+    restored = ckpt.restore_train_state(cfg.log_folder,
+                                        jax.device_get(learner.state))
+    assert restored is not None
+    assert int(restored.step) == int(jax.device_get(learner.state.step))
+    a = jax.tree_util.tree_leaves(restored.params)
+    b = jax.tree_util.tree_leaves(jax.device_get(learner.state.params))
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, rtol=1e-6)
+
+
+def test_metrics_artifacts_written(synthetic_dataset, tmp_path):
+    cfg = _cfg(synthetic_dataset, tmp_path, epochs=1)
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    learner.learn(synthetic_dataset)
+    run = tmp_path / "run"
+    assert (run / "srl_model.msgpack").exists()
+    assert (run / "loss_history.npz").exists()
+    assert (run / "metrics.jsonl").exists()
+    assert (run / "checkpoints" / "state_latest.msgpack").exists()
+
+
+def test_seed_determinism(synthetic_dataset, tmp_path):
+    outs = []
+    for run in range(2):
+        cfg = _cfg(synthetic_dataset, tmp_path, epochs=1,
+                   log_folder=str(tmp_path / f"run{run}"))
+        learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+        learner.learn(synthetic_dataset)
+        outs.append(learner.predict_states(synthetic_dataset))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-6)
