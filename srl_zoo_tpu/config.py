@@ -138,6 +138,9 @@ class SRLConfig:
     data_folder: str = ""
     log_folder: str = ""
     num_cpu: int = 4
+    # HBM-resident dataset cache: "auto" caches when the frame store fits on
+    # device (data/device_cache.py), "on" requires it, "off" streams batches.
+    device_cache: str = "auto"
 
     # ---- derived helpers (all static) -------------------------------------
     @property
@@ -248,6 +251,7 @@ class SRLConfig:
             "img-shape": [self.img_height, self.img_width, self.n_channels],
             "val-size": self.val_size,
             "num-cpu": self.num_cpu,
+            "device-cache": self.device_cache,
         }
 
     def save(self, log_folder: str) -> str:
@@ -292,6 +296,7 @@ class SRLConfig:
             data_folder=cfg.get("data-folder", ""),
             log_folder=cfg.get("log-folder", ""),
             num_cpu=int(cfg.get("num-cpu", 4)),
+            device_cache=cfg.get("device-cache", "auto"),
         )
 
     @classmethod
@@ -330,6 +335,7 @@ def build_config(args, losses: Dict[str, float], split_dims: Dict[str, int],
         compute_dtype=getattr(args, "dtype", "float32"),
         inverse_model_type=getattr(args, "inverse_model_type", "linear"),
         path_to_dae=getattr(args, "path_to_dae", "") or "",
+        device_cache=getattr(args, "device_cache", "auto"),
         data_folder=args.data_folder,
         log_folder=getattr(args, "log_folder", ""),
         num_cpu=getattr(args, "num_cpu", 4),

@@ -56,6 +56,36 @@ class SRL4robotics:
         # replicate the train state across the mesh
         rep = replicated_sharding(self.mesh)
         self.state = jax.device_put(self.state, rep)
+        self._cache = None
+        self._cache_key = None
+
+    def _ensure_cache(self, dataset: Dataset):
+        """Build (once) the HBM-resident frame cache when it fits — the
+        TPU-native fast path that reduces per-step host traffic to int32
+        index arrays (see data/device_cache.py)."""
+        from srl_zoo_tpu.data import device_cache as dc
+
+        cfg = self.cfg
+        if cfg.device_cache == "off":
+            return None
+        key = id(dataset)
+        if self._cache_key == key:
+            return self._cache
+        needs_view2 = cfg.multi_view
+        hw = (cfg.img_height, cfg.img_width)
+        if dc.fits(dataset, hw, needs_view2):
+            nbytes = dc.cache_nbytes(dataset)
+            printGreen(f"Caching dataset in HBM ({nbytes / 2**20:.0f} MiB, "
+                       "replicated across the mesh)")
+            self._cache = dc.build_cache(dataset, self.mesh, needs_view2)
+        else:
+            if cfg.device_cache == "on":
+                raise ValueError("--device-cache on, but the dataset does "
+                                 "not fit / has no frames.npy at the "
+                                 "training resolution")
+            self._cache = None
+        self._cache_key = key
+        return self._cache
 
     # ---- frozen DAE for perceptual similarity --------------------------------
     @staticmethod
@@ -112,10 +142,14 @@ class SRL4robotics:
             logger.close()
             return {"total": 0.0}
 
+        cache = self._ensure_cache(dataset)
+        emit_images = cache is None
         train_loader = DataLoader(dataset, train_idx, cfg, shuffle=True,
-                                  seed=cfg.seed, wraparound=True)
+                                  seed=cfg.seed, wraparound=True,
+                                  emit_images=emit_images)
         val_loader = DataLoader(dataset, val_idx, cfg, shuffle=False,
-                                seed=cfg.seed, wraparound=True) \
+                                seed=cfg.seed, wraparound=True,
+                                emit_images=emit_images) \
             if len(val_idx) else None
 
         self.rng, train_rng, eval_rng = jax.random.split(self.rng, 3)
@@ -128,7 +162,7 @@ class SRL4robotics:
             for batch in train_loader:
                 sharded = shard_batch(batch, self.mesh)
                 self.state, metrics = self.train_step(self.state, sharded,
-                                                      train_rng)
+                                                      train_rng, cache)
                 step += 1
                 n_images += len(batch["valid"])
                 for k, v in jax.device_get(metrics).items():
@@ -141,7 +175,8 @@ class SRL4robotics:
                 vacc: Dict[str, list] = {}
                 for batch in val_loader:
                     sharded = shard_batch(batch, self.mesh)
-                    metrics = self.eval_step(self.state, sharded, eval_rng)
+                    metrics = self.eval_step(self.state, sharded, eval_rng,
+                                             cache)
                     for k, v in jax.device_get(metrics).items():
                         vacc.setdefault(k, []).append(float(v))
                 val_metrics = _mean_metrics(vacc)
@@ -185,13 +220,16 @@ class SRL4robotics:
         cfg = self.cfg
         if indices is None:
             indices = np.arange(dataset.n_samples, dtype=np.int32)
+        cache = self._ensure_cache(dataset)
         loader = DataLoader(dataset, indices, cfg, shuffle=False,
-                            seed=0, wraparound=False)
+                            seed=0, wraparound=False,
+                            emit_images=cache is None)
+        rep = replicated_sharding(self.mesh)
         out = []
         for batch in loader:
-            obs = jax.device_put(batch["obs"],
-                                 replicated_sharding(self.mesh))
-            states = jax.device_get(self.encode_step(self.state, obs))
+            key = "indices" if cache is not None else "obs"
+            arg = jax.device_put(batch[key], rep)
+            states = jax.device_get(self.encode_step(self.state, arg, cache))
             valid = batch["valid"] > 0
             out.append(states[valid])
         return np.concatenate(out, axis=0)

@@ -49,13 +49,43 @@ def build_steps(cfg: SRLConfig, model: SRLModules, tx,
 
     norm = lambda u8: normalize_images(u8, cfg.normalize_mode)
 
-    def _model_inputs(batch: Dict[str, jnp.ndarray], rng: jax.Array):
+    def _raw_images(batch: Dict[str, jnp.ndarray], cache):
+        """uint8 (obs, next_obs, pos, neg) — from the batch (streaming mode)
+        or gathered in-HBM from the dataset cache (indices-only batches,
+        see data/device_cache.py)."""
+        if cache is None:
+            return (batch["obs"],
+                    batch.get("next_obs"),
+                    batch.get("pos_obs"),
+                    batch.get("neg_obs"))
+        frames = cache["frames"]
+        n = frames.shape[0]
+        idx = batch["indices"]
+
+        def grab(i):
+            o = jnp.take(frames, i, axis=0)
+            if cfg.multi_view and not cfg.use_triplet:
+                o = jnp.concatenate(
+                    [o, jnp.take(cache["frames_2"], i, axis=0)], axis=-1)
+            return o
+
+        obs = grab(idx)
+        next_obs = grab(jnp.minimum(idx + 1, n - 1)) if cfg.needs_next_obs \
+            else None
+        pos = jnp.take(cache["frames_2"], idx, axis=0) if cfg.use_triplet \
+            else None
+        neg = jnp.take(frames, batch["neg_indices"], axis=0) \
+            if cfg.use_triplet else None
+        return obs, next_obs, pos, neg
+
+    def _model_inputs(batch: Dict[str, jnp.ndarray], rng: jax.Array, cache):
         """Normalize on device; build the SRLModules.__call__ args."""
-        obs = norm(batch["obs"])
-        next_obs = norm(batch["next_obs"]) if cfg.needs_next_obs else None
+        obs_u8, next_u8, pos_u8, neg_u8 = _raw_images(batch, cache)
+        obs = norm(obs_u8)
+        next_obs = norm(next_u8) if cfg.needs_next_obs else None
         actions = batch["actions"] if cfg.use_forward else None
-        pos = norm(batch["pos_obs"]) if cfg.use_triplet else None
-        neg = norm(batch["neg_obs"]) if cfg.use_triplet else None
+        pos = norm(pos_u8) if cfg.use_triplet else None
+        neg = norm(neg_u8) if cfg.use_triplet else None
         occluded = None
         if cfg.use_dae:
             occluded = occlude(rng, obs, cfg.occlusion_percentage)
@@ -85,9 +115,9 @@ def build_steps(cfg: SRLConfig, model: SRLModules, tx,
             extras["feat_target"] = dae_feature_fn(target_obs)
         return extras
 
-    def _loss_fn(params, batch_stats, batch, rng, train: bool):
+    def _loss_fn(params, batch_stats, batch, rng, train: bool, cache=None):
         occl_rng, sample_rng = jax.random.split(jax.random.fold_in(rng, 1))
-        target_obs, args = _model_inputs(batch, occl_rng)
+        target_obs, args = _model_inputs(batch, occl_rng, cache)
         variables = {"params": params, "batch_stats": batch_stats}
         rngs = {"sampling": sample_rng} if (cfg.use_vae and train) else {}
         if train:
@@ -104,11 +134,12 @@ def build_steps(cfg: SRLConfig, model: SRLModules, tx,
         return total, (metrics, new_batch_stats)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
-                   rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+                   rng: jax.Array, cache=None
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         rng = jax.random.fold_in(rng, state.step)
         grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
         (_, (metrics, new_bs)), grads = grad_fn(
-            state.params, state.batch_stats, batch, rng, True)
+            state.params, state.batch_stats, batch, rng, True, cache)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,
@@ -116,15 +147,26 @@ def build_steps(cfg: SRLConfig, model: SRLModules, tx,
         return new_state, metrics
 
     def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray],
-                  rng: jax.Array) -> Dict[str, jnp.ndarray]:
+                  rng: jax.Array, cache=None) -> Dict[str, jnp.ndarray]:
         _, (metrics, _) = _loss_fn(state.params, state.batch_stats, batch,
-                                   rng, False)
+                                   rng, False, cache)
         return metrics
 
-    def encode_step(state: TrainState, obs_u8: jnp.ndarray) -> jnp.ndarray:
+    def encode_step(state: TrainState, obs_or_idx: jnp.ndarray,
+                    cache=None) -> jnp.ndarray:
         """Deterministic states for export (reference:
-        predStatesWithDataLoader / SRLModules.getStates)."""
+        predStatesWithDataLoader / SRLModules.getStates). In cached mode
+        ``obs_or_idx`` is an int32 index array into the HBM frame store."""
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if cache is None:
+            obs_u8 = obs_or_idx
+        else:
+            obs_u8 = jnp.take(cache["frames"], obs_or_idx, axis=0)
+            if cfg.multi_view and not cfg.use_triplet:
+                obs_u8 = jnp.concatenate(
+                    [obs_u8,
+                     jnp.take(cache["frames_2"], obs_or_idx, axis=0)],
+                    axis=-1)
         return model.apply(variables, norm(obs_u8), train=False,
                            method=SRLModules.encode)
 

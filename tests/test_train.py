@@ -77,3 +77,30 @@ def test_seed_determinism(synthetic_dataset, tmp_path):
         learner.learn(synthetic_dataset)
         outs.append(learner.predict_states(synthetic_dataset))
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-6)
+
+
+def test_cached_equals_streaming(synthetic_dataset, tmp_path):
+    """The HBM-cache path must train identically to streaming batches."""
+    states = {}
+    for mode in ("on", "off"):
+        cfg = _cfg(synthetic_dataset, tmp_path, epochs=1,
+                   log_folder=str(tmp_path / f"cache_{mode}"),
+                   device_cache=mode)
+        learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+        learner.learn(synthetic_dataset)
+        states[mode] = learner.predict_states(synthetic_dataset)
+    np.testing.assert_allclose(states["on"], states["off"],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_cached_triplet_and_dae(synthetic_dataset_mv, tmp_path):
+    """Cache mode covers triplet (view-2 + negative gathers) and DAE."""
+    ds = synthetic_dataset_mv
+    cfg = _cfg(ds, tmp_path, losses=(("triplet", 1.0),), epochs=1,
+               multi_view=True, device_cache="on",
+               log_folder=str(tmp_path / "trip"))
+    SRL4robotics(cfg, log_folder=cfg.log_folder).learn(ds)
+    cfg = _cfg(ds, tmp_path, losses=(("dae", 1.0),), epochs=1,
+               multi_view=False, device_cache="on",
+               log_folder=str(tmp_path / "dae"))
+    SRL4robotics(cfg, log_folder=cfg.log_folder).learn(ds)

@@ -76,6 +76,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="Compute dtype for conv/matmul (MXU)")
+    parser.add_argument("--device-cache", type=str, default="auto",
+                        choices=["auto", "on", "off"],
+                        help="Cache the dataset frames in device HBM and "
+                             "ship only index arrays per step")
     return parser.parse_args(argv)
 
 
