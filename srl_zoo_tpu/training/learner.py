@@ -105,11 +105,16 @@ class SRL4robotics:
 
     # ---- training -------------------------------------------------------------
     def learn(self, dataset: Dataset,
-              epoch_callback: Optional[Callable] = None) -> Dict[str, float]:
+              epoch_callback: Optional[Callable] = None,
+              resume: bool = False,
+              profile: bool = False) -> Dict[str, float]:
         """Train on (obs, next_obs) transitions; returns final val metrics.
 
         Mirrors reference SRL4robotics.learn: train/val split, per-epoch pair
-        resampling (inside the loader), best-val model export.
+        resampling (inside the loader), best-val model export. Additions over
+        the reference (SURVEY.md §5): ``resume=True`` restarts from the last
+        full-state checkpoint; ``profile=True`` captures a jax.profiler trace
+        of epoch 0 into <log_folder>/profile (view with Perfetto/XProf).
         """
         cfg = self.cfg
         if cfg.use_supervised:
@@ -153,9 +158,29 @@ class SRL4robotics:
             if len(val_idx) else None
 
         self.rng, train_rng, eval_rng = jax.random.split(self.rng, 3)
+
+        start_epoch = 0
+        if resume:
+            restored = ckpt.restore_train_state(
+                self.log_folder, jax.device_get(self.state))
+            if restored is not None:
+                self.state = jax.device_put(restored,
+                                            replicated_sharding(self.mesh))
+                steps_done = int(jax.device_get(self.state.step))
+                start_epoch = min(steps_done // max(len(train_loader), 1),
+                                  cfg.epochs)
+                printGreen(f"Resumed from step {steps_done} "
+                           f"(epoch {start_epoch})")
+
         step = int(jax.device_get(self.state.step))
         val_metrics: Dict[str, float] = {}
-        for epoch in range(cfg.epochs):
+        profiling = False
+        for epoch in range(start_epoch, cfg.epochs):
+            if profile and epoch == start_epoch:
+                import os
+                jax.profiler.start_trace(
+                    os.path.join(self.log_folder, "profile"))
+                profiling = True
             t_epoch = time.time()
             acc: Dict[str, list] = {}
             n_images = 0
@@ -170,6 +195,9 @@ class SRL4robotics:
             train_metrics = _mean_metrics(acc)
             dt = time.time() - t_epoch
             ips = n_images / max(dt, 1e-9)
+            if profiling:
+                jax.profiler.stop_trace()
+                profiling = False
 
             if val_loader is not None:
                 vacc: Dict[str, list] = {}

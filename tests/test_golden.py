@@ -1,0 +1,43 @@
+"""Golden-parity gate (SURVEY.md §4.2): fixed seed on the deterministic
+synthetic dataset; KNN-MSE and GTC must stay within tolerance across
+refactors. This is the quality contract that catches normalization / init /
+optimizer drift (the usual parity killers, SURVEY.md §7)."""
+
+import numpy as np
+
+from srl_zoo_tpu.config import SRLConfig
+from srl_zoo_tpu.evaluation.gtc import ground_truth_correlation
+from srl_zoo_tpu.evaluation.knn import knn_mse
+from srl_zoo_tpu.training.learner import SRL4robotics
+
+
+def _train(ds, tmp_path, losses, epochs=4, state_dim=4):
+    cfg = SRLConfig(state_dim=state_dim, img_height=32, img_width=32,
+                    batch_size=16, epochs=epochs, learning_rate=3e-3,
+                    losses=losses,
+                    split_dims=tuple((n, -1) for n, _ in losses),
+                    n_actions=ds.n_actions,
+                    n_reward_classes=ds.n_reward_classes,
+                    seed=1, log_folder=str(tmp_path / "golden"))
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    learner.learn(ds)
+    return learner.predict_states(ds)
+
+
+def test_golden_autoencoder_quality(synthetic_dataset, tmp_path):
+    """An AE trained 4 epochs on the synthetic dataset must reach a useful
+    representation: these gates were set ~2x looser than the values measured
+    at round 1 (knn ~0.004, gtc ~0.93) so they catch regressions, not noise."""
+    ds = synthetic_dataset
+    states = _train(ds, tmp_path, (("autoencoder", 1.0),))
+    knn, _, _ = knn_mse(states, ds.ground_truth_states, k=3)
+    gtc, _ = ground_truth_correlation(states, ds.ground_truth_states)
+    assert knn < 0.02, f"KNN-MSE regression: {knn}"
+    assert gtc > 0.7, f"GTC regression: {gtc}"
+
+
+def test_golden_priors_quality(synthetic_dataset, tmp_path):
+    ds = synthetic_dataset
+    states = _train(ds, tmp_path, (("priors", 1.0),))
+    knn, _, _ = knn_mse(states, ds.ground_truth_states, k=3)
+    assert knn < 0.03, f"priors KNN-MSE regression: {knn}"

@@ -73,6 +73,16 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--no-display-plots", action="store_true",
                         help="Kept for reference-CLI compatibility "
                              "(plots are always written to files)")
+    parser.add_argument("--plot-every", type=int, default=0,
+                        help="Write a live representation plot every N "
+                             "epochs (reference: live plotting during "
+                             "training; 0 = off)")
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume from the latest full-state checkpoint "
+                             "in --log-folder")
+    parser.add_argument("--profile", action="store_true",
+                        help="Capture a jax.profiler trace of the first "
+                             "epoch into <log-folder>/profile")
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="Compute dtype for conv/matmul (MXU)")
@@ -123,7 +133,24 @@ def main(argv=None):
                f"{dict(cfg.losses)} -> {log_folder}")
 
     learner = SRL4robotics(cfg, log_folder=log_folder)
-    learner.learn(dataset)
+
+    epoch_callback = None
+    if args.plot_every > 0:
+        plot_idx = np.arange(0, dataset.n_samples,
+                             max(dataset.n_samples // 2000, 1),
+                             dtype=np.int32)
+
+        def epoch_callback(lrn, epoch, train_m, val_m):
+            if (epoch + 1) % args.plot_every:
+                return
+            s = lrn.predict_states(dataset, plot_idx)
+            plot_representation(
+                s, dataset.rewards[plot_idx],
+                os.path.join(log_folder, "plots", f"epoch_{epoch + 1}.png"),
+                title=f"States after epoch {epoch + 1}")
+
+    learner.learn(dataset, epoch_callback=epoch_callback,
+                  resume=args.resume, profile=args.profile)
 
     # ---- export: states for the WHOLE dataset + plots (reference contract) ----
     states = learner.predict_states(dataset)
