@@ -80,3 +80,17 @@ def test_pairwise_dispatch_cpu(rng):
     got = np.asarray(pairwise_sqdist(jnp.asarray(x), jnp.asarray(x)))
     assert np.allclose(np.diag(got), 0.0, atol=1e-5)
     assert np.allclose(got, _np_pairwise(x, x), atol=1e-4)
+
+
+def test_gather_normalize_interpret_matches_xla(rng):
+    import jax.numpy as jnp
+
+    from srl_zoo_tpu.ops.gather_norm import gather_normalize
+    frames = jnp.asarray(rng.randint(0, 255, (10, 8, 16, 8),
+                                     dtype=np.uint8))  # f = 1024
+    idx = jnp.asarray(rng.randint(0, 10, 5).astype(np.int32))
+    pallas_out = gather_normalize(frames, idx, interpret=True,
+                                  use_pallas=True)
+    xla_out = gather_normalize(frames, idx, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(pallas_out), np.asarray(xla_out),
+                               atol=1e-6)
