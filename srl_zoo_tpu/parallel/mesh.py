@@ -27,16 +27,27 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, Any]:
-    """device_put every batch array with its leading axis sharded over the
-    mesh. Arrays whose leading dim is not the batch are replicated."""
+    """device_put the whole batch dict in ONE call (one host->device
+    transaction instead of one per array — the per-put latency through a
+    remote-tunnel backend is what hurts), leading axes sharded over the mesh,
+    non-batch arrays replicated. On multi-host meshes each process passes its
+    local shard and the global array is assembled across hosts."""
     bs = batch_sharding(mesh)
     rep = replicated_sharding(mesh)
     n_dev = mesh.devices.size
-    out = {}
-    for k, v in batch.items():
-        sh = bs if (v.ndim >= 1 and v.shape[0] % n_dev == 0) else rep
-        out[k] = jax.device_put(v, sh)
-    return out
+
+    if jax.process_count() > 1:
+        out = {}
+        for k, v in batch.items():
+            if v.ndim >= 1 and (v.shape[0] * jax.process_count()) % n_dev == 0:
+                out[k] = jax.make_array_from_process_local_data(bs, v)
+            else:
+                out[k] = jax.device_put(v, rep)
+        return out
+
+    shardings = {k: (bs if (v.ndim >= 1 and v.shape[0] % n_dev == 0) else rep)
+                 for k, v in batch.items()}
+    return jax.device_put(batch, shardings)
 
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
