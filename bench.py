@@ -91,8 +91,7 @@ def bench_train_step(batch_size: int, img: int, state_dim: int,
         nonlocal state
         metrics = None
         for i in range(n):
-            batch = {k: jax.device_put(v)
-                     for k, v in host_batches[i % 4].items()}
+            batch = jax.device_put(host_batches[i % 4])  # one put per batch
             state, metrics = train_step(state, batch, rng, cache)
         # device->host fence: forces the whole dependency chain
         return float(jax.device_get(metrics["total"]))
