@@ -104,3 +104,24 @@ def test_cached_triplet_and_dae(synthetic_dataset_mv, tmp_path):
                multi_view=False, device_cache="on",
                log_folder=str(tmp_path / "dae"))
     SRL4robotics(cfg, log_folder=cfg.log_folder).learn(ds)
+
+
+def test_inference_state_encoder(synthetic_dataset, tmp_path):
+    """StateEncoder.load reproduces the training-time export exactly."""
+    from srl_zoo_tpu.inference import StateEncoder
+
+    ds = synthetic_dataset
+    cfg = _cfg(ds, tmp_path, epochs=1, log_folder=str(tmp_path / "inf"))
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    learner.learn(ds)
+    cfg.save(cfg.log_folder)
+    exported = learner.predict_states(ds)
+
+    enc = StateEncoder.load(cfg.log_folder, max_batch=8)
+    # single observation
+    s0 = enc.encode(np.asarray(ds.frames[0]))
+    assert s0.shape == (cfg.state_dim,)
+    np.testing.assert_allclose(s0, exported[0], rtol=1e-4, atol=1e-5)
+    # non-multiple-of-max-batch batch (padding path)
+    s = enc.encode(np.asarray(ds.frames[:11]))
+    np.testing.assert_allclose(s, exported[:11], rtol=1e-4, atol=1e-5)
