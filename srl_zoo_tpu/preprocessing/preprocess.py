@@ -108,6 +108,8 @@ def main(argv=None):
     p.add_argument("--img-size", type=int, default=224)
     p.add_argument("--no-frames-cache", action="store_true",
                    help="Skip building the frames.npy decode cache")
+    p.add_argument("--multi-view", action="store_true",
+                   help="Also build the second-view frames_2.npy cache")
     args = p.parse_args(argv)
 
     if not os.path.exists(os.path.join(args.data_folder,
@@ -119,6 +121,9 @@ def main(argv=None):
     if not args.no_frames_cache and \
             not os.path.exists(os.path.join(args.data_folder, "frames.npy")):
         build_frames_cache(args.data_folder, args.img_size)
+    if args.multi_view and \
+            not os.path.exists(os.path.join(args.data_folder, "frames_2.npy")):
+        build_frames_cache(args.data_folder, args.img_size, view_suffix="_2")
 
 
 if __name__ == "__main__":

@@ -64,3 +64,26 @@ def test_reward_probe_separable(rng):
     rewards = np.concatenate([np.ones(50), -np.ones(50)]).astype(np.float32)
     acc = predict_reward_accuracy(states.astype(np.float32), rewards)
     assert acc > 0.9
+
+
+def test_latent_sweep_grid(synthetic_dataset, tmp_path):
+    """Latent sweeps decode to the image geometry, one batched call."""
+    import jax
+
+    from srl_zoo_tpu.config import SRLConfig
+    from srl_zoo_tpu.evaluation.enjoy_latent import latent_sweep_grid
+    from srl_zoo_tpu.training.learner import SRL4robotics
+
+    ds = synthetic_dataset
+    cfg = SRLConfig(state_dim=4, img_height=32, img_width=32, batch_size=16,
+                    epochs=1, losses=(("autoencoder", 1.0),),
+                    split_dims=(("autoencoder", -1),),
+                    log_folder=str(tmp_path / "sweep"))
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    learner.learn(ds)
+    states = learner.predict_states(ds)
+    variables = {"params": jax.device_get(learner.state.params),
+                 "batch_stats": jax.device_get(learner.state.batch_stats)}
+    grid = latent_sweep_grid(cfg, variables, states, n_dims=2, n_steps=3)
+    assert grid.shape == (2, 3, 32, 32, 3)
+    assert 0.0 <= grid.min() and grid.max() <= 1.0
