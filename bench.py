@@ -48,7 +48,7 @@ def _make_setup(batch_size: int, img: int, state_dim: int,
                     img_height=img, img_width=img, batch_size=batch_size,
                     compute_dtype=compute_dtype)
     model, state, tx = create_train_state(cfg, jax.random.PRNGKey(0))
-    train_step, _, _ = build_steps(cfg, model, tx)
+    train_step, _, _, train_epoch, _ = build_steps(cfg, model, tx)
     mesh = make_mesh()
     state = jax.device_put(state, replicated_sharding(mesh))
 
@@ -75,17 +75,38 @@ def _make_setup(batch_size: int, img: int, state_dim: int,
             b["obs"] = nprng.randint(0, 255, (batch_size, img, img, 3),
                                      dtype=np.uint8)
         host_batches.append(b)
-    return train_step, state, cache, host_batches
+    return train_step, train_epoch, state, cache, host_batches, mesh
 
 
 def bench_train_step(batch_size: int, img: int, state_dim: int,
                      compute_dtype: str, cached: bool,
                      steps: int = 30, warmup: int = 3) -> float:
+    """Streaming mode: per-step device_put + jitted step (host-link bound).
+    Cached mode: the whole-epoch lax.scan runner the learner actually uses
+    (index-only host traffic)."""
     import jax
 
-    train_step, state, cache, host_batches = _make_setup(
+    train_step, train_epoch, state, cache, host_batches, mesh = _make_setup(
         batch_size, img, state_dim, compute_dtype, cached)
     rng = jax.random.PRNGKey(1)
+
+    if cached:
+        from srl_zoo_tpu.parallel.mesh import shard_stacked_batch
+        stacked = {k: np.stack([host_batches[i % 4][k]
+                                for i in range(steps)])
+                   for k in host_batches[0]}
+
+        def run_epoch():
+            nonlocal state
+            sharded = shard_stacked_batch(stacked, mesh)
+            state, metrics = train_epoch(state, sharded, rng, cache)
+            return float(jax.device_get(metrics["total"][-1]))
+
+        run_epoch()  # compile + warm
+        t0 = time.perf_counter()
+        run_epoch()
+        dt = time.perf_counter() - t0
+        return batch_size * steps / dt
 
     def run(n):
         nonlocal state

@@ -50,6 +50,19 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, Any]:
     return jax.device_put(batch, shardings)
 
 
+def shard_stacked_batch(batches: Dict[str, np.ndarray], mesh: Mesh
+                        ) -> Dict[str, Any]:
+    """device_put a whole-epoch stack (each value (n_steps, B, ...)) in one
+    call, sharding the BATCH axis (axis 1) over the mesh — feeds the
+    lax.scan epoch runner (training/train_step.py train_epoch)."""
+    n_dev = mesh.devices.size
+    rep = replicated_sharding(mesh)
+    bs = NamedSharding(mesh, P(None, DATA_AXIS))
+    shardings = {k: (bs if (v.ndim >= 2 and v.shape[1] % n_dev == 0) else rep)
+                 for k, v in batches.items()}
+    return jax.device_put(batches, shardings)
+
+
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None) -> None:

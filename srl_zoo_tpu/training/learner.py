@@ -22,7 +22,7 @@ from srl_zoo_tpu.config import SRLConfig
 from srl_zoo_tpu.data.loader import DataLoader
 from srl_zoo_tpu.data.schema import Dataset
 from srl_zoo_tpu.parallel.mesh import (make_mesh, replicated_sharding,
-                                       shard_batch)
+                                       shard_batch, shard_stacked_batch)
 from srl_zoo_tpu.training import checkpoint as ckpt
 from srl_zoo_tpu.training.metrics import MetricsLogger
 from srl_zoo_tpu.training.state import create_train_state
@@ -34,6 +34,12 @@ from srl_zoo_tpu.utils import printGreen, printYellow, set_global_seeds
 def _tree_mean(stacked):
     import jax.numpy as jnp
     return {k: jnp.mean(v) for k, v in stacked.items()}
+
+
+def _stack_batches(batches: list) -> Dict[str, np.ndarray]:
+    """Stack per-step loader batches into (n_steps, B, ...) arrays for the
+    whole-epoch scan runner (index-only cached mode: a few KB total)."""
+    return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
 
 
 def _mean_metrics(metric_dicts: list) -> Dict[str, float]:
@@ -68,7 +74,8 @@ class SRL4robotics:
         dae_feature_fn = None
         if cfg.path_to_dae:
             dae_feature_fn = self._build_frozen_dae(cfg.path_to_dae)
-        self.train_step, self.eval_step, self.encode_step = build_steps(
+        (self.train_step, self.eval_step, self.encode_step,
+         self.train_epoch, self.eval_epoch) = build_steps(
             cfg, self.model, self.tx, dae_feature_fn=dae_feature_fn)
 
         # replicate the train state across the mesh
@@ -202,13 +209,24 @@ class SRL4robotics:
             t_epoch = time.time()
             acc = []
             n_images = 0
-            for batch in train_loader:
-                sharded = shard_batch(batch, self.mesh)
-                self.state, metrics = self.train_step(self.state, sharded,
-                                                      train_rng, cache)
-                step += 1
-                n_images += len(batch["valid"])
-                acc.append(metrics)  # stays on device; reduced once per epoch
+            if cache is not None:
+                # whole-epoch lax.scan: one device program, one host transfer
+                stacked = _stack_batches(list(train_loader))
+                n_steps = len(stacked["valid"])
+                sharded = shard_stacked_batch(stacked, self.mesh)
+                self.state, metrics = self.train_epoch(self.state, sharded,
+                                                       train_rng, cache)
+                step += n_steps
+                n_images += int(np.prod(stacked["valid"].shape))
+                acc.append(metrics)  # (n_steps,) device arrays
+            else:
+                for batch in train_loader:
+                    sharded = shard_batch(batch, self.mesh)
+                    self.state, metrics = self.train_step(
+                        self.state, sharded, train_rng, cache)
+                    step += 1
+                    n_images += len(batch["valid"])
+                    acc.append(metrics)  # on device; reduced once per epoch
             train_metrics = _mean_metrics(acc)
             dt = time.time() - t_epoch
             ips = n_images / max(dt, 1e-9)
@@ -218,10 +236,16 @@ class SRL4robotics:
 
             if val_loader is not None:
                 vacc = []
-                for batch in val_loader:
-                    sharded = shard_batch(batch, self.mesh)
-                    vacc.append(self.eval_step(self.state, sharded, eval_rng,
-                                               cache))
+                if cache is not None:
+                    stacked = _stack_batches(list(val_loader))
+                    sharded = shard_stacked_batch(stacked, self.mesh)
+                    vacc.append(self.eval_epoch(self.state, sharded,
+                                                eval_rng, cache))
+                else:
+                    for batch in val_loader:
+                        sharded = shard_batch(batch, self.mesh)
+                        vacc.append(self.eval_step(self.state, sharded,
+                                                   eval_rng, cache))
                 val_metrics = _mean_metrics(vacc)
             else:
                 val_metrics = train_metrics

@@ -170,7 +170,33 @@ def build_steps(cfg: SRLConfig, model: SRLModules, tx,
         return model.apply(variables, norm(obs_u8), train=False,
                            method=SRLModules.encode)
 
+    # ---- whole-epoch scan (cached mode): one device program per epoch -------
+    # With the dataset resident in HBM, an epoch's host traffic is just the
+    # stacked per-step index/meta arrays — so the entire epoch can run as a
+    # single jitted lax.scan: no per-step dispatch, no per-step transfers.
+    # (Python-loop steps remain the streaming-mode path.)
+    _train_step_raw, _eval_step_raw = train_step, eval_step
+
+    def train_epoch(state: TrainState, batches: Dict[str, jnp.ndarray],
+                    rng: jax.Array, cache=None):
+        """batches: each value stacked to (n_steps, B, ...). Returns
+        (state, per-step metrics stacked to (n_steps,))."""
+        def body(carry, batch):
+            return _train_step_raw(carry, batch, rng, cache)
+
+        return jax.lax.scan(body, state, batches)
+
+    def eval_epoch(state: TrainState, batches: Dict[str, jnp.ndarray],
+                   rng: jax.Array, cache=None):
+        def body(carry, batch):
+            return carry, _eval_step_raw(state, batch, rng, cache)
+
+        _, metrics = jax.lax.scan(body, None, batches)
+        return metrics
+
     train_step = jax.jit(train_step, donate_argnums=(0,))
     eval_step = jax.jit(eval_step)
     encode_step = jax.jit(encode_step)
-    return train_step, eval_step, encode_step
+    train_epoch = jax.jit(train_epoch, donate_argnums=(0,))
+    eval_epoch = jax.jit(eval_epoch)
+    return train_step, eval_step, encode_step, train_epoch, eval_epoch

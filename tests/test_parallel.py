@@ -46,7 +46,7 @@ def _one_step(devices, batch):
     model, state, _ = create_train_state(cfg, jax.random.PRNGKey(0))
     tx = optax.sgd(0.1)
     state = state.replace(opt_state=tx.init(state.params))
-    train_step, eval_step, _ = build_steps(cfg, model, tx)
+    train_step, eval_step, _, _, _ = build_steps(cfg, model, tx)
     state = jax.device_put(state, replicated_sharding(mesh))
     sharded = shard_batch(batch, mesh)
     state, metrics = train_step(state, sharded, jax.random.PRNGKey(42))
@@ -92,7 +92,7 @@ def test_priors_pair_gather_across_shards(rng):
     for devs in (jax.devices()[:1], jax.devices()[:8]):
         mesh = make_mesh(devs)
         model, state, tx = create_train_state(cfg, jax.random.PRNGKey(0))
-        train_step, _, _ = build_steps(cfg, model, tx)
+        train_step, _, _, _, _ = build_steps(cfg, model, tx)
         state = jax.device_put(state, replicated_sharding(mesh))
         _, metrics = train_step(state, shard_batch(batch, mesh),
                                 jax.random.PRNGKey(1))
