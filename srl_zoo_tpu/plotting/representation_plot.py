@@ -55,6 +55,40 @@ def plot_representation(states: np.ndarray, rewards: np.ndarray,
     return fig
 
 
+def main(argv=None):
+    """CLI: plot a saved run's states (reference:
+    plotting/representation_plot.py with --data-folder/--correlation)."""
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(description="Plot learned states")
+    p.add_argument("--log-folder", type=str, required=True,
+                   help="Run folder containing states_rewards.npz")
+    p.add_argument("--correlation", action="store_true",
+                   help="Also plot the ground-truth correlation heatmap")
+    p.add_argument("--data-folder", type=str, default="",
+                   help="Dataset folder (defaults to exp_config.json)")
+    args = p.parse_args(argv)
+
+    sr = np.load(os.path.join(args.log_folder, "states_rewards.npz"))
+    out = os.path.join(args.log_folder, "states.png")
+    plot_representation(sr["states"], sr["rewards"], out)
+    print(f"Saved {out}")
+    if args.correlation:
+        from srl_zoo_tpu.data.schema import load_dataset
+        from srl_zoo_tpu.evaluation.gtc import ground_truth_correlation
+        data_folder = args.data_folder
+        if not data_folder:
+            with open(os.path.join(args.log_folder, "exp_config.json")) as f:
+                data_folder = json.load(f)["data-folder"]
+        ds = load_dataset(data_folder)
+        gtc, corr = ground_truth_correlation(sr["states"],
+                                             ds.ground_truth_states)
+        out = os.path.join(args.log_folder, "correlation.png")
+        plot_correlation(corr, out)
+        print(f"GTC score: {gtc:.4f}\nSaved {out}")
+
+
 def plot_correlation(corr: np.ndarray, save_path: Optional[str] = None,
                      title: str = "Learned vs ground-truth correlation"):
     """Heatmap of the (D_learned, D_gt) correlation matrix
@@ -72,3 +106,7 @@ def plot_correlation(corr: np.ndarray, save_path: Optional[str] = None,
         fig.savefig(save_path, dpi=100)
     plt.close(fig)
     return fig
+
+
+if __name__ == "__main__":
+    main()

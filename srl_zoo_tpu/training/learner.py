@@ -176,10 +176,12 @@ class SRL4robotics:
         emit_images = cache is None
         train_loader = DataLoader(dataset, train_idx, cfg, shuffle=True,
                                   seed=cfg.seed, wraparound=True,
-                                  emit_images=emit_images)
+                                  emit_images=emit_images,
+                                  num_threads=cfg.num_cpu)
         val_loader = DataLoader(dataset, val_idx, cfg, shuffle=False,
                                 seed=cfg.seed, wraparound=True,
-                                emit_images=emit_images) \
+                                emit_images=emit_images,
+                                num_threads=cfg.num_cpu) \
             if len(val_idx) else None
 
         self.rng, train_rng, eval_rng = jax.random.split(self.rng, 3)
@@ -290,7 +292,8 @@ class SRL4robotics:
         cache = self._ensure_cache(dataset)
         loader = DataLoader(dataset, indices, cfg, shuffle=False,
                             seed=0, wraparound=False,
-                            emit_images=cache is None)
+                            emit_images=cache is None,
+                            num_threads=cfg.num_cpu)
         rep = replicated_sharding(self.mesh)
         out = []
         for batch in loader:
