@@ -37,10 +37,17 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, Any]:
     n_dev = mesh.devices.size
 
     if jax.process_count() > 1:
+        # Multi-host: every process builds the same (seeded) global batch;
+        # each contributes only its contiguous row slice. The global array is
+        # assembled across hosts without any cross-DCN data movement beyond
+        # what XLA schedules.
+        pc, pi = jax.process_count(), jax.process_index()
         out = {}
         for k, v in batch.items():
-            if v.ndim >= 1 and (v.shape[0] * jax.process_count()) % n_dev == 0:
-                out[k] = jax.make_array_from_process_local_data(bs, v)
+            if v.ndim >= 1 and v.shape[0] % n_dev == 0:
+                local = v[(v.shape[0] // pc) * pi:
+                          (v.shape[0] // pc) * (pi + 1)]
+                out[k] = jax.make_array_from_process_local_data(bs, local)
             else:
                 out[k] = jax.device_put(v, rep)
         return out
