@@ -98,3 +98,34 @@ def test_priors_pair_gather_across_shards(rng):
                                 jax.random.PRNGKey(1))
         results.append(float(jax.device_get(metrics["total"])))
     assert np.allclose(results[0], results[1], rtol=1e-5)
+
+
+def test_epoch_scan_on_mesh(rng):
+    """The whole-epoch lax.scan runner compiles and runs over the 8-device
+    mesh with the HBM cache (the production configuration)."""
+    from srl_zoo_tpu.parallel.mesh import shard_stacked_batch
+
+    b, n_steps = 16, 3
+    cfg = _cfg(b)
+    mesh = make_mesh(jax.devices())
+    model, state, tx = create_train_state(cfg, jax.random.PRNGKey(0))
+    _, _, _, train_epoch, eval_epoch = build_steps(cfg, model, tx)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    frames = rng.randint(0, 255, (40, 32, 32, 3), dtype=np.uint8)
+    cache = {"frames": jax.device_put(frames, replicated_sharding(mesh))}
+    stacked = {
+        "indices": rng.randint(0, 39, (n_steps, b)).astype(np.int32),
+        "actions": rng.randint(0, 4, (n_steps, b)).astype(np.int32),
+        "reward_classes": rng.randint(0, 3, (n_steps, b)).astype(np.int32),
+        "rewards": rng.randn(n_steps, b).astype(np.float32),
+        "valid": np.ones((n_steps, b), np.float32),
+    }
+    sharded = shard_stacked_batch(stacked, mesh)
+    state, metrics = train_epoch(state, sharded, jax.random.PRNGKey(1),
+                                 cache)
+    totals = np.asarray(jax.device_get(metrics["total"]))
+    assert totals.shape == (n_steps,)
+    assert np.all(np.isfinite(totals))
+    assert int(jax.device_get(state.step)) == n_steps
+    ev = eval_epoch(state, sharded, jax.random.PRNGKey(2), cache)
+    assert np.all(np.isfinite(np.asarray(jax.device_get(ev["total"]))))

@@ -177,3 +177,21 @@ def test_inference_state_encoder(synthetic_dataset, tmp_path):
     # non-multiple-of-max-batch batch (padding path)
     s = enc.encode(np.asarray(ds.frames[:11]))
     np.testing.assert_allclose(s, exported[:11], rtol=1e-4, atol=1e-5)
+
+
+def test_episode_prior_adversarial_dynamics(synthetic_dataset, tmp_path):
+    """The adversarial game reaches its intended equilibrium: the encoder
+    makes episodes indistinguishable, so the discriminator's BCE hovers at
+    chance (ln 2 ~ 0.693) instead of winning — and nothing diverges."""
+    ds = synthetic_dataset
+    cfg = _cfg(ds, tmp_path, losses=(("episode-prior", 1.0),), epochs=6,
+               log_folder=str(tmp_path / "ep"))
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    learner.learn(ds)
+    hist = np.load(tmp_path / "ep" / "loss_history.npz")
+    d_loss = hist["train/episode-prior/discriminator"]
+    e_loss = hist["train/episode-prior"]
+    assert np.all(np.isfinite(hist["train/total"]))
+    # neither side collapses: both BCEs stay in a band around chance
+    assert 0.5 < d_loss[-1] < 0.9
+    assert 0.5 < e_loss[-1] < 0.9
