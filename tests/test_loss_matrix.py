@@ -1,0 +1,75 @@
+"""Matrix regression: every loss family trains one epoch through the full
+learner in the production (HBM-cached, whole-epoch scan) mode."""
+
+import numpy as np
+import pytest
+
+from srl_zoo_tpu.config import SRLConfig
+from srl_zoo_tpu.training.learner import SRL4robotics
+
+SINGLE_VIEW_CASES = [
+    (("autoencoder", 1.0),),
+    (("vae", 0.5),),
+    (("dae", 1.0),),
+    (("priors", 1.0),),
+    (("forward", 1.0), ("inverse", 2.0), ("reward", 1.0)),
+    (("episode-prior", 1.0),),
+    (("reward-prior", 1.0),),
+    (("autoencoder", 1.0), ("inverse", 2.0)),
+]
+
+
+@pytest.mark.parametrize("losses", SINGLE_VIEW_CASES,
+                         ids=lambda l: "+".join(n for n, _ in l))
+def test_loss_family_trains_cached(losses, synthetic_dataset, tmp_path):
+    ds = synthetic_dataset
+    cfg = SRLConfig(state_dim=4, img_height=32, img_width=32, batch_size=16,
+                    epochs=1, losses=losses,
+                    split_dims=tuple((n, -1) for n, _ in losses),
+                    n_actions=ds.n_actions,
+                    n_reward_classes=ds.n_reward_classes,
+                    device_cache="on",
+                    log_folder=str(tmp_path / "run"))
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    metrics = learner.learn(ds)
+    assert np.isfinite(metrics["total"])
+    states = learner.predict_states(ds)
+    assert states.shape == (ds.n_samples, 4)
+    assert np.all(np.isfinite(states))
+
+
+def test_supervised_trains_cached(synthetic_dataset, tmp_path):
+    ds = synthetic_dataset
+    cfg = SRLConfig(state_dim=2, img_height=32, img_width=32, batch_size=16,
+                    epochs=2, losses=(("supervised", 1.0),),
+                    split_dims=(("supervised", -1),),
+                    n_actions=ds.n_actions, device_cache="on",
+                    log_folder=str(tmp_path / "sup"))
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    learner.learn(ds)
+    hist = np.load(tmp_path / "sup" / "loss_history.npz")
+    assert hist["train/total"][-1] < hist["train/total"][0]
+
+
+def test_triplet_trains_cached(synthetic_dataset_mv, tmp_path):
+    ds = synthetic_dataset_mv
+    cfg = SRLConfig(state_dim=4, img_height=32, img_width=32, batch_size=16,
+                    epochs=1, losses=(("triplet", 1.0),),
+                    split_dims=(("triplet", -1),), multi_view=True,
+                    n_actions=ds.n_actions, device_cache="on",
+                    log_folder=str(tmp_path / "tri"))
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    metrics = learner.learn(ds)
+    assert np.isfinite(metrics["total"])
+
+
+def test_multiview_six_channel_trains_cached(synthetic_dataset_mv, tmp_path):
+    ds = synthetic_dataset_mv
+    cfg = SRLConfig(state_dim=4, img_height=32, img_width=32, batch_size=16,
+                    epochs=1, losses=(("autoencoder", 1.0),),
+                    split_dims=(("autoencoder", -1),), multi_view=True,
+                    n_actions=ds.n_actions, device_cache="on",
+                    log_folder=str(tmp_path / "mv"))
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    metrics = learner.learn(ds)
+    assert np.isfinite(metrics["total"])

@@ -101,6 +101,9 @@ def default_log_folder(dataset_name: str, model_type: str,
 
 
 def main(argv=None):
+    from srl_zoo_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     args = parse_args(argv)
     set_global_seeds(args.seed)
 
