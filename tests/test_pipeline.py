@@ -97,3 +97,53 @@ def test_preprocess_cli(tmp_path):
     assert ds.n_samples == 12
     assert ds.frames.shape == (12, 32, 32, 3)
     assert ds.episode_starts.sum() == 2
+
+
+def test_recorder_to_training_lifecycle(tmp_path, monkeypatch):
+    """record -> preprocess -> load -> one training epoch: the full data
+    lifecycle without the reference's companion recorder repo."""
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.RandomState(0)
+
+    from srl_zoo_tpu.data.record import DatasetRecorder
+    folder = str(tmp_path / "recorded")
+    rec = DatasetRecorder(folder)
+    for ep in range(2):
+        rec.new_episode()
+        for t in range(8):
+            obs = rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+            rec.record(obs, action=rng.randint(4), reward=float(t == 7),
+                       ground_truth_state=rng.randn(2))
+    rec.close()
+
+    from srl_zoo_tpu.preprocessing.preprocess import main as pp_main
+    pp_main(["--data-folder", folder, "--img-size", "32"])
+
+    import train as train_cli
+    log = str(tmp_path / "rec_log")
+    train_cli.main(["--data-folder", folder, "--losses", "autoencoder",
+                    "--state-dim", "2", "-bs", "8", "--epochs", "1",
+                    "--log-folder", log, "--seed", "1"])
+    sr = np.load(os.path.join(log, "states_rewards.npz"))
+    assert sr["states"].shape == (16, 2)
+
+
+def test_pipeline_exp_config(ds_folder, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    grid = {"data-folder": ds_folder, "losses": [["autoencoder"]],
+            "state-dims": [4], "epochs": 1, "batch-size": 8}
+    cfg_path = tmp_path / "grid.json"
+    cfg_path.write_text(json.dumps(grid))
+    import pipeline as pipeline_cli
+    results = pipeline_cli.main(["--exp-config", str(cfg_path), "--no-grids"])
+    assert len(results) == 1 and np.isfinite(results[0]["knn_mse"])
+
+
+def test_synthetic_kuka_task(tmp_path):
+    from srl_zoo_tpu.data.schema import load_dataset
+    folder = str(tmp_path / "kuka")
+    generate_dataset(folder, n_episodes=2, episode_len=12, img_size=32,
+                     seed=0, task="kuka")
+    ds = load_dataset(folder)
+    assert ds.n_samples == 24
+    assert ds.ground_truth_states.shape[1] == 2
