@@ -34,7 +34,8 @@ TORCH_CPU_BASELINE_IPS = 22.8
 
 
 def _make_setup(batch_size: int, img: int, state_dim: int,
-                compute_dtype: str, cached: bool, n_frames: int = 2048):
+                compute_dtype: str, cached: bool, n_frames: int = 2048,
+                losses: str = "autoencoder"):
     import jax
 
     from srl_zoo_tpu.config import SRLConfig
@@ -42,9 +43,10 @@ def _make_setup(batch_size: int, img: int, state_dim: int,
     from srl_zoo_tpu.training.state import create_train_state
     from srl_zoo_tpu.training.train_step import build_steps
 
+    loss_tuple = tuple((name, 1.0) for name in losses.split("+"))
     cfg = SRLConfig(state_dim=state_dim, model_type="custom_cnn",
-                    losses=(("autoencoder", 1.0),),
-                    split_dims=(("autoencoder", -1),),
+                    losses=loss_tuple,
+                    split_dims=tuple((n, -1) for n, _ in loss_tuple),
                     img_height=img, img_width=img, batch_size=batch_size,
                     compute_dtype=compute_dtype)
     model, state, tx = create_train_state(cfg, jax.random.PRNGKey(0))
@@ -71,23 +73,33 @@ def _make_setup(batch_size: int, img: int, state_dim: int,
                 0, n_frames if cached else batch_size,
                 batch_size).astype(np.int32),
         }
+        if "priors" in losses:
+            b["same_action_partners"] = nprng.randint(
+                0, batch_size, batch_size).astype(np.int32)
+            b["same_action_mask"] = np.ones(batch_size, np.float32)
+            b["dissimilar_partners"] = nprng.randint(
+                0, batch_size, batch_size).astype(np.int32)
+            b["dissimilar_mask"] = np.ones(batch_size, np.float32)
         if not cached:
             b["obs"] = nprng.randint(0, 255, (batch_size, img, img, 3),
                                      dtype=np.uint8)
+            if "priors" in losses or "vae" in losses:
+                b["next_obs"] = b["obs"]
         host_batches.append(b)
     return train_step, train_epoch, state, cache, host_batches, mesh
 
 
 def bench_train_step(batch_size: int, img: int, state_dim: int,
                      compute_dtype: str, cached: bool,
-                     steps: int = 30, warmup: int = 3) -> float:
+                     steps: int = 30, warmup: int = 3,
+                     losses: str = "autoencoder") -> float:
     """Streaming mode: per-step device_put + jitted step (host-link bound).
     Cached mode: the whole-epoch lax.scan runner the learner actually uses
     (index-only host traffic)."""
     import jax
 
     train_step, train_epoch, state, cache, host_batches, mesh = _make_setup(
-        batch_size, img, state_dim, compute_dtype, cached)
+        batch_size, img, state_dim, compute_dtype, cached, losses=losses)
     rng = jax.random.PRNGKey(1)
 
     if cached:
@@ -128,13 +140,16 @@ def main():
     import jax
     device = jax.devices()[0]
     results = {}
-    for name, (bs, dtype, cached) in {
-        "cached_b512_bf16": (512, "bfloat16", True),
-        "streaming_b128_bf16": (128, "bfloat16", False),
+    for name, (bs, dtype, cached, losses) in {
+        "cached_b512_bf16": (512, "bfloat16", True, "autoencoder"),
+        "cached_vae_b512_bf16": (512, "bfloat16", True, "vae"),
+        "cached_priors_b512_bf16": (512, "bfloat16", True, "priors"),
+        "streaming_b128_bf16": (128, "bfloat16", False, "autoencoder"),
     }.items():
         try:
             results[name] = bench_train_step(bs, 224, 200, dtype, cached,
-                                             steps=20, warmup=2)
+                                             steps=20, warmup=2,
+                                             losses=losses)
         except Exception as e:  # keep the bench line parseable on failure
             results[name] = 0.0
             results[name + "_error"] = str(e)[:200]
