@@ -26,3 +26,21 @@ numbers are possible.
 __version__ = "0.1.0"
 
 from srl_zoo_tpu.config import SRLConfig, parse_loss_arguments  # noqa: F401
+
+
+def __getattr__(name):
+    # Lazy top-level exports (keep `import srl_zoo_tpu` light: no jax import
+    # until a component is actually used).
+    if name == "SRL4robotics":
+        from srl_zoo_tpu.training.learner import SRL4robotics
+        return SRL4robotics
+    if name == "StateEncoder":
+        from srl_zoo_tpu.inference import StateEncoder
+        return StateEncoder
+    if name == "load_dataset":
+        from srl_zoo_tpu.data.schema import load_dataset
+        return load_dataset
+    if name == "DataLoader":
+        from srl_zoo_tpu.data.loader import DataLoader
+        return DataLoader
+    raise AttributeError(name)

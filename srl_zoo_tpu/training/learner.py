@@ -132,7 +132,8 @@ class SRL4robotics:
     def learn(self, dataset: Dataset,
               epoch_callback: Optional[Callable] = None,
               resume: bool = False,
-              profile: bool = False) -> Dict[str, float]:
+              profile: bool = False,
+              checkpoint_every: int = 1) -> Dict[str, float]:
         """Train on (obs, next_obs) transitions; returns final val metrics.
 
         Mirrors reference SRL4robotics.learn: train/val split, per-epoch pair
@@ -266,7 +267,9 @@ class SRL4robotics:
                 best_params = (jax.device_get(self.state.params),
                                jax.device_get(self.state.batch_stats))
                 ckpt.save_srl_model(self.log_folder, *best_params)
-            ckpt.save_train_state(self.log_folder, self.state)
+            if (epoch + 1) % max(checkpoint_every, 1) == 0 \
+                    or epoch == cfg.epochs - 1:
+                ckpt.save_train_state(self.log_folder, self.state)
             if epoch_callback is not None:
                 epoch_callback(self, epoch, train_metrics, val_metrics)
 

@@ -83,6 +83,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--profile", action="store_true",
                         help="Capture a jax.profiler trace of the first "
                              "epoch into <log-folder>/profile")
+    parser.add_argument("--checkpoint-every", type=int, default=1,
+                        help="Write the full resume checkpoint every N "
+                             "epochs (best-model export is unaffected)")
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="Compute dtype for conv/matmul (MXU)")
@@ -153,7 +156,8 @@ def main(argv=None):
                 title=f"States after epoch {epoch + 1}")
 
     learner.learn(dataset, epoch_callback=epoch_callback,
-                  resume=args.resume, profile=args.profile)
+                  resume=args.resume, profile=args.profile,
+                  checkpoint_every=args.checkpoint_every)
 
     # ---- export: states for the WHOLE dataset + plots (reference contract) ----
     states = learner.predict_states(dataset)
