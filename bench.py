@@ -136,25 +136,42 @@ def bench_train_step(batch_size: int, img: int, state_dim: int,
     return batch_size * steps / dt
 
 
-def main():
+def main(argv=None):
+    import argparse
+
     import jax
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--smoke", action="store_true",
+                   help="Tiny geometry / few steps — validates the bench "
+                        "machinery (used by tests), numbers not meaningful")
+    args = p.parse_args(argv)
+
+    if args.smoke:
+        grid = {"cached_smoke": (16, "float32", True, "autoencoder")}
+        img, sd, steps = 32, 8, 3
+    else:
+        grid = {
+            "cached_b512_bf16": (512, "bfloat16", True, "autoencoder"),
+            "cached_vae_b512_bf16": (512, "bfloat16", True, "vae"),
+            "cached_priors_b512_bf16": (512, "bfloat16", True, "priors"),
+            "streaming_b128_bf16": (128, "bfloat16", False, "autoencoder"),
+        }
+        img, sd, steps = 224, 200, 20
+
     device = jax.devices()[0]
     results = {}
-    for name, (bs, dtype, cached, losses) in {
-        "cached_b512_bf16": (512, "bfloat16", True, "autoencoder"),
-        "cached_vae_b512_bf16": (512, "bfloat16", True, "vae"),
-        "cached_priors_b512_bf16": (512, "bfloat16", True, "priors"),
-        "streaming_b128_bf16": (128, "bfloat16", False, "autoencoder"),
-    }.items():
+    for name, (bs, dtype, cached, losses) in grid.items():
         try:
-            results[name] = bench_train_step(bs, 224, 200, dtype, cached,
-                                             steps=20, warmup=2,
+            results[name] = bench_train_step(bs, img, sd, dtype, cached,
+                                             steps=steps, warmup=2,
                                              losses=losses)
         except Exception as e:  # keep the bench line parseable on failure
             results[name] = 0.0
             results[name + "_error"] = str(e)[:200]
 
-    headline = results.get("cached_b512_bf16", 0.0)
+    headline = results.get("cached_b512_bf16",
+                           results.get("cached_smoke", 0.0))
     if headline == 0.0:  # cache path failed; fall back to streaming
         headline = results.get("streaming_b128_bf16", 0.0)
     print(json.dumps({
