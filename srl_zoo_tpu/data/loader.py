@@ -1,0 +1,238 @@
+"""Host-side minibatch loader with background prefetch.
+
+Reference: ``preprocessing/data_loader.py`` — a multiprocessing loader whose
+workers cv2.imread JPEGs, resize to 224x224, normalize to float CHW and push
+tensors through a pickle queue (SURVEY.md §3.3 marks it the likely bottleneck).
+
+TPU-first redesign:
+  * batches ship as **uint8 NHWC** — 4x less host->device traffic; the
+    [-1, 1] / ImageNet normalization is fused into the jitted train step
+    (see ops/preproc.py),
+  * a ``frames.npy`` memmap fast path skips JPEG decode entirely,
+  * decode parallelism uses threads (cv2 releases the GIL), assembly happens
+    in a single producer thread feeding a bounded queue — no pickling,
+  * all emitted arrays have static shapes: the final partial minibatch is
+    wrapped around (train) or padded with a validity mask (eval), so the
+    train step compiles exactly once,
+  * priors/episode/triplet pair sampling ships fixed-size partner-index
+    arrays + masks (see data/samplers.py).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from srl_zoo_tpu.config import SRLConfig
+from srl_zoo_tpu.data import samplers
+from srl_zoo_tpu.data.schema import Dataset
+
+_SENTINEL = object()
+
+
+def _decode_resize(path: str, hw) -> np.ndarray:
+    import cv2
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(f"Could not read image: {path}")
+    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    if img.shape[:2] != hw:
+        img = cv2.resize(img, (hw[1], hw[0]), interpolation=cv2.INTER_AREA)
+    return img
+
+
+class DataLoader:
+    """Iterates minibatch dicts of numpy arrays (uint8 images, int/float meta).
+
+    Emitted keys (shape-static; presence depends on config):
+      obs (B,H,W,C) u8; next_obs (B,H,W,C) u8; pos_obs/neg_obs (B,H,W,3) u8
+      (triplet); actions, reward_classes (B,) i32; rewards (B,) f32;
+      gt_states (B,d) f32 (supervised); indices (B,) i32; valid (B,) f32;
+      same_action_partners/mask, dissimilar_partners/mask (priors);
+      episode_partners, episode_labels (episode-prior).
+    """
+
+    def __init__(self, dataset: Dataset, indices: np.ndarray, cfg: SRLConfig,
+                 shuffle: bool = True, seed: int = 0, wraparound: bool = True,
+                 num_threads: Optional[int] = None, prefetch: int = 3,
+                 max_queue_len: Optional[int] = None,
+                 emit_images: bool = True):
+        """``emit_images=False`` is the HBM-cache mode: batches carry only
+        index arrays and metadata; the jitted step gathers pixels from the
+        device-resident frame store (data/device_cache.py)."""
+        self.ds = dataset
+        self.indices = np.asarray(indices, np.int32)
+        self.cfg = cfg
+        self.emit_images = emit_images
+        self.shuffle = shuffle
+        self.seed = seed
+        self.wraparound = wraparound
+        self.prefetch = prefetch
+        self.num_threads = num_threads or min(8, (os.cpu_count() or 1) * 2)
+        self._epoch = 0
+        self._hw = (cfg.img_height, cfg.img_width)
+        self._max_queue = max_queue_len
+        self._episode_ids = dataset.episode_ids
+
+    def __len__(self) -> int:
+        b = self.cfg.batch_size
+        n = len(self.indices)
+        if n <= b:
+            return 1
+        return (n + b - 1) // b  # final batch wraps (train) or pads (eval)
+
+    # ---- image fetch --------------------------------------------------------
+    def _fetch_images(self, idx: np.ndarray, view: int = 0) -> np.ndarray:
+        from srl_zoo_tpu import native
+
+        frames = self.ds.frames if view == 0 else self.ds.frames_2
+        if frames is not None:
+            out = native.gather_frames(frames, idx)
+            if out.shape[1:3] != self._hw:
+                out = self._resize_batch(out)
+            return out
+        paths_arr = self.ds.images_path if view == 0 else self.ds.images_path_2
+        if paths_arr is None:
+            raise ValueError(f"Dataset has no view-{view} images")
+        paths = [self._resolve(paths_arr[i]) for i in idx]
+        if native.available() and all(p.endswith((".jpg", ".jpeg"))
+                                      for p in paths):
+            try:
+                return native.decode_jpeg_batch(paths, *self._hw,
+                                                n_threads=self.num_threads)
+            except FileNotFoundError:
+                pass  # fall through to cv2, which also handles other formats
+        with ThreadPoolExecutor(max_workers=self.num_threads) as ex:
+            imgs = list(ex.map(lambda p: _decode_resize(p, self._hw), paths))
+        return np.stack(imgs)
+
+    def _resize_batch(self, imgs: np.ndarray) -> np.ndarray:
+        from srl_zoo_tpu import native
+        h, w = self._hw
+        return native.resize_batch(imgs, h, w)
+
+    def _resolve(self, rel: str) -> str:
+        # Reference paths may be relative to the dataset folder or to its
+        # parent ("data/<dataset>/record_x/..."); accept both.
+        for base in (self.ds.data_folder,
+                     os.path.dirname(self.ds.data_folder.rstrip("/"))):
+            p = os.path.join(base, rel)
+            if os.path.exists(p):
+                return p
+        return rel
+
+    def _observation(self, idx: np.ndarray) -> np.ndarray:
+        """3-channel (or 6-channel stacked multi-view) uint8 observation."""
+        obs = self._fetch_images(idx, view=0)
+        if self.cfg.multi_view and not self.cfg.use_triplet:
+            obs2 = self._fetch_images(idx, view=1)
+            obs = np.concatenate([obs, obs2], axis=-1)
+        return obs
+
+    # ---- batch assembly ------------------------------------------------------
+    def _make_batch(self, idx: np.ndarray, valid: np.ndarray,
+                    rng: np.random.RandomState) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        ds = self.ds
+        batch: Dict[str, np.ndarray] = {
+            "indices": idx.astype(np.int32),
+            "valid": valid.astype(np.float32),
+            "actions": ds.actions[idx],
+            "reward_classes": ds.reward_classes[np.minimum(idx + 1, ds.n_samples - 1)],
+            "rewards": ds.rewards[np.minimum(idx + 1, ds.n_samples - 1)],
+        }
+        if self.emit_images:
+            batch["obs"] = self._observation(idx)
+        if cfg.needs_next_obs and self.emit_images:
+            nxt = np.minimum(idx + 1, ds.n_samples - 1)
+            batch["next_obs"] = self._observation(nxt)
+        if cfg.use_triplet:
+            negs = samplers.triplet_negatives(idx, self._episode_ids,
+                                              self.indices, rng)
+            if self.emit_images:
+                batch["pos_obs"] = self._fetch_images(idx, view=1)
+                batch["neg_obs"] = self._fetch_images(negs, view=0)
+            else:
+                batch["neg_indices"] = negs.astype(np.int32)
+        if cfg.use_priors:
+            sp, sm = samplers.find_same_action_pairs(ds.actions[idx], rng)
+            dp, dm = samplers.find_dissimilar_pairs(
+                ds.actions[idx], ds.reward_classes[np.minimum(idx + 1, ds.n_samples - 1)], rng)
+            batch["same_action_partners"], batch["same_action_mask"] = sp, sm
+            batch["dissimilar_partners"], batch["dissimilar_mask"] = dp, dm
+        if cfg.use_episode_prior:
+            ep, el = samplers.episode_prior_pairs(self._episode_ids[idx], rng)
+            batch["episode_partners"], batch["episode_labels"] = ep, el
+        if cfg.use_supervised:
+            batch["gt_states"] = ds.ground_truth_states[idx]
+        return batch
+
+    def _epoch_indices(self, rng: np.random.RandomState) -> np.ndarray:
+        idx = self.indices
+        if self.cfg.balanced_sampling and self.shuffle:
+            # oversample by the reward class of the *resulting* transition
+            rc = self.ds.reward_classes[np.minimum(idx + 1, self.ds.n_samples - 1)]
+            order = samplers.balanced_reward_indices(
+                np.arange(len(idx), dtype=np.int32), rc[np.arange(len(idx))], rng)
+            idx = idx[order]
+        elif self.shuffle:
+            idx = idx[rng.permutation(len(idx))]
+        return idx
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.RandomState(self.seed + self._epoch)
+        self._epoch += 1
+        order = self._epoch_indices(rng)
+        b = self.cfg.batch_size
+        n = len(order)
+
+        batches_idx = []
+        n_full = n // b
+        for k in range(n_full):
+            idx = order[k * b:(k + 1) * b]
+            batches_idx.append((idx, np.ones(b)))
+        rem = n - n_full * b
+        if rem and not self.wraparound:
+            idx = order[n_full * b:]
+            pad = np.zeros(b - rem, order.dtype)
+            batches_idx.append((np.concatenate([idx, pad]),
+                                np.concatenate([np.ones(rem), np.zeros(b - rem)])))
+        elif rem and self.wraparound and n >= b:
+            idx = np.concatenate([order[n_full * b:], order[:b - rem]])
+            batches_idx.append((idx, np.ones(b)))
+        elif n < b:
+            reps = int(np.ceil(b / max(n, 1)))
+            idx = np.tile(order, reps)[:b]
+            valid = np.ones(b) if self.wraparound else \
+                np.concatenate([np.ones(n), np.zeros(b - n)])
+            if not self.wraparound:
+                idx = np.concatenate([order, np.zeros(b - n, order.dtype)])
+            batches_idx = [(idx, valid)]
+
+        q: queue.Queue = queue.Queue(maxsize=self._max_queue or self.prefetch)
+        err = []
+
+        def producer():
+            try:
+                for idx, valid in batches_idx:
+                    q.put(self._make_batch(idx, valid, rng))
+            except Exception as e:  # surface loader errors to the consumer
+                err.append(e)
+            finally:
+                q.put(_SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]

@@ -1,0 +1,133 @@
+"""Deterministic synthetic dataset generator (mobile-robot-like).
+
+Used for golden-parity tests and CPU-runnable baselines (SURVEY.md §4.2,
+BASELINE config 1). Mirrors the structure of the reference's mobile-robot
+navigation datasets: an agent moves on a 2D plane under 4 discrete actions,
+reward +1 at the target, -1 at walls, 0 otherwise; the ground-truth state is
+the agent's (x, y) position (reference data layout: preprocessing/preprocess.py).
+
+Frames are rendered as flat-colored squares on a background — enough signal
+for an autoencoder/priors model to recover position. Both the reference jpg
+layout (record_*/frame*.jpg) and the fast frames.npy memmap are written.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def _render_frame(pos: np.ndarray, target: np.ndarray, size: int,
+                  view: int = 0) -> np.ndarray:
+    """Render one (size, size, 3) uint8 frame. ``view`` changes the palette and
+    mirrors the scene to emulate a second camera for multi-view datasets."""
+    img = np.full((size, size, 3), 40 if view == 0 else 70, dtype=np.uint8)
+    # background gradient so reconstructions are non-trivial
+    ramp = np.linspace(0, 60, size, dtype=np.uint8)
+    img[:, :, 2] += ramp[None, :]
+
+    def draw(center_xy, half, color):
+        cx = int(center_xy[0] * (size - 1))
+        cy = int(center_xy[1] * (size - 1))
+        x0, x1 = max(cx - half, 0), min(cx + half + 1, size)
+        y0, y1 = max(cy - half, 0), min(cy + half + 1, size)
+        img[y0:y1, x0:x1] = color
+
+    tgt = target if view == 0 else np.array([1.0 - target[0], target[1]])
+    agent = pos if view == 0 else np.array([1.0 - pos[0], pos[1]])
+    draw(tgt, max(size // 16, 2), (220, 60, 60) if view == 0 else (60, 220, 60))
+    draw(agent, max(size // 12, 3), (60, 120, 220) if view == 0 else (220, 220, 60))
+    return img
+
+
+def generate_dataset(
+    data_folder: str,
+    n_episodes: int = 5,
+    episode_len: int = 40,
+    img_size: int = 64,
+    seed: int = 0,
+    save_jpgs: bool = False,
+    multi_view: bool = False,
+    task: str = "navigation",
+) -> str:
+    """Write a synthetic dataset with the reference npz schema. Returns the
+    dataset folder path. Fully deterministic for a given seed.
+
+    Tasks (mirroring the reference's two benchmark families):
+      * "navigation" — mobile-robot navigation: agent moves on a plane
+        toward a fixed target (ground truth = 2D position).
+      * "kuka" — button-pushing-like: same 2D dynamics but the reward is
+        +1 only when pressing (moving onto) the button, episodes are
+        shorter-horizon and the button is centered, emulating the Kuka
+        dataset's reward sparsity.
+    """
+    rng = np.random.RandomState(seed)
+    os.makedirs(data_folder, exist_ok=True)
+
+    step = 0.08
+    moves = np.array([[step, 0], [-step, 0], [0, step], [0, -step]], np.float32)
+    if task == "navigation":
+        target = np.array([0.85, 0.85], np.float32)
+    elif task == "kuka":
+        target = np.array([0.5, 0.5], np.float32)
+    else:
+        raise ValueError(f"Unknown synthetic task: {task}")
+
+    actions, rewards, episode_starts, states = [], [], [], []
+    frames = []
+    frames_2 = [] if multi_view else None
+    images_path, images_path_2 = [], []
+
+    for ep in range(n_episodes):
+        pos = rng.uniform(0.1, 0.9, size=2).astype(np.float32)
+        for t in range(episode_len):
+            a = int(rng.randint(4))
+            new_pos = pos + moves[a]
+            hit_wall = bool(np.any(new_pos < 0.02) or np.any(new_pos > 0.98))
+            new_pos = np.clip(new_pos, 0.02, 0.98)
+            radius = 0.1 if task == "navigation" else 0.06  # kuka: sparser
+            at_target = bool(np.linalg.norm(new_pos - target) < radius)
+            r = 1.0 if at_target else (-1.0 if hit_wall else 0.0)
+
+            episode_starts.append(t == 0)
+            actions.append(a)
+            rewards.append(r)
+            states.append(pos.copy())
+            frames.append(_render_frame(pos, target, img_size, view=0))
+            images_path.append(f"record_{ep:03d}/frame{t:06d}.jpg")
+            if multi_view:
+                frames_2.append(_render_frame(pos, target, img_size, view=1))
+                images_path_2.append(f"record_{ep:03d}/frame{t:06d}_2.jpg")
+            pos = new_pos
+
+    actions = np.asarray(actions, np.int32)
+    rewards = np.asarray(rewards, np.float32)
+    episode_starts = np.asarray(episode_starts, bool)
+    states = np.asarray(states, np.float32)
+    frames = np.stack(frames)
+
+    np.savez(os.path.join(data_folder, "preprocessed_data.npz"),
+             actions=actions, rewards=rewards, episode_starts=episode_starts)
+    np.savez(os.path.join(data_folder, "ground_truth.npz"),
+             ground_truth_states=states,
+             images_path=np.asarray(images_path),
+             **({"images_path_2": np.asarray(images_path_2)} if multi_view else {}),
+             target_positions=target[None])
+    np.save(os.path.join(data_folder, "frames.npy"), frames)
+    if multi_view:
+        np.save(os.path.join(data_folder, "frames_2.npy"), np.stack(frames_2))
+
+    if save_jpgs:
+        import cv2
+        all_paths: Tuple = (zip(images_path, frames),)
+        if multi_view:
+            all_paths = all_paths + (zip(images_path_2, frames_2),)
+        for pairs in all_paths:
+            for rel, frame in pairs:
+                path = os.path.join(data_folder, rel)
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                # cv2 writes BGR; frames are RGB
+                cv2.imwrite(path, frame[:, :, ::-1])
+    return data_folder
