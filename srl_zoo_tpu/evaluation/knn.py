@@ -25,11 +25,14 @@ from srl_zoo_tpu.ops.pairwise import pairwise_sqdist
 
 def knn_mse(learned_states: np.ndarray, ground_truth_states: np.ndarray,
             k: int = 5, n_samples: Optional[int] = None,
-            seed: int = 0) -> Tuple[float, np.ndarray, np.ndarray]:
+            seed: int = 0, query_chunk: int = 4096
+            ) -> Tuple[float, np.ndarray, np.ndarray]:
     """Returns (knn_mse, query_indices, neighbor_indices (Q, k)).
 
     ``n_samples`` limits the number of query points (reference samples a
-    subset for the image grids); None = every point is a query.
+    subset for the image grids); None = every point is a query. Queries are
+    processed in chunks of ``query_chunk`` so device memory stays bounded at
+    (chunk x N) distances even for 100k+ sample datasets.
     """
     learned = np.asarray(learned_states, np.float32)
     gt = np.asarray(ground_truth_states, np.float32)
@@ -40,10 +43,15 @@ def knn_mse(learned_states: np.ndarray, ground_truth_states: np.ndarray,
     else:
         queries = np.arange(n)
 
-    d2 = pairwise_sqdist(jnp.asarray(learned[queries]), jnp.asarray(learned))
-    # exclude self-matches: take k+1 smallest, drop the self column
-    _, idx = jax.lax.top_k(-d2, k + 1)
-    idx = np.asarray(jax.device_get(idx))
+    refs = jnp.asarray(learned)
+    idx_chunks = []
+    for start in range(0, len(queries), query_chunk):
+        q = queries[start:start + query_chunk]
+        d2 = pairwise_sqdist(jnp.asarray(learned[q]), refs)
+        # exclude self-matches: take k+1 smallest, drop the self column
+        _, idx = jax.lax.top_k(-d2, k + 1)
+        idx_chunks.append(np.asarray(jax.device_get(idx)))
+    idx = np.concatenate(idx_chunks, axis=0)
     neighbor_idx = np.empty((len(queries), k), np.int64)
     for row, q in enumerate(queries):
         cand = [j for j in idx[row] if j != q][:k]

@@ -87,3 +87,11 @@ def test_latent_sweep_grid(synthetic_dataset, tmp_path):
     grid = latent_sweep_grid(cfg, variables, states, n_dims=2, n_steps=3)
     assert grid.shape == (2, 3, 32, 32, 3)
     assert 0.0 <= grid.min() and grid.max() <= 1.0
+
+
+def test_knn_mse_chunked_matches_unchunked(rng):
+    gt = rng.randn(150, 3).astype(np.float32)
+    s_full, _, n_full = knn_mse(gt, gt, k=4, query_chunk=10**9)
+    s_chunk, _, n_chunk = knn_mse(gt, gt, k=4, query_chunk=32)
+    assert np.isclose(s_full, s_chunk, rtol=1e-6)
+    np.testing.assert_array_equal(n_full, n_chunk)
