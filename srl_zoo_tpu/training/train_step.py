@@ -38,7 +38,9 @@ def _slice_cols(x: jnp.ndarray, sl) -> jnp.ndarray:
 
 def build_steps(cfg: SRLConfig, model: SRLModules, tx,
                 dae_feature_fn: Optional[Callable] = None):
-    """Returns (train_step, eval_step, encode_step), all jit-compiled.
+    """Returns (train_step, eval_step, encode_step, train_epoch, eval_epoch),
+    all jit-compiled. The *_epoch variants scan a whole epoch of stacked
+    batches in one device program (cached mode).
 
     ``dae_feature_fn(normalized_images) -> features`` is the frozen
     pretrained-DAE encoder for the perceptual-similarity loss.
