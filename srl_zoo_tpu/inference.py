@@ -53,6 +53,12 @@ class StateEncoder:
         single = obs.ndim == 3
         if single:
             obs = obs[None]
+        expected = (self.cfg.img_height, self.cfg.img_width,
+                    self.cfg.n_channels)
+        if obs.ndim != 4 or obs.shape[1:] != expected:
+            raise ValueError(
+                f"expected uint8 observations of shape {expected} "
+                f"(or batched (B, *{expected})), got {obs.shape}")
         b = len(obs)
         out = []
         for start in range(0, b, self.max_batch):

@@ -1,0 +1,74 @@
+"""Error paths: failures must be loud and informative, not silent."""
+
+import numpy as np
+import pytest
+
+from srl_zoo_tpu.config import SRLConfig
+
+
+def test_loader_propagates_decode_errors(synthetic_dataset, tmp_path):
+    """An unreadable image raises in the consumer, not silently in the
+    producer thread."""
+    import dataclasses
+
+    from srl_zoo_tpu.data.loader import DataLoader
+
+    ds = dataclasses.replace(synthetic_dataset, frames=None,
+                             images_path=np.asarray(
+                                 ["missing/nope.png"]
+                                 * synthetic_dataset.n_samples))
+    cfg = SRLConfig(state_dim=2, img_height=32, img_width=32, batch_size=4,
+                    losses=(("autoencoder", 1.0),),
+                    split_dims=(("autoencoder", -1),))
+    loader = DataLoader(ds, ds.training_indices()[:4], cfg, shuffle=False,
+                        seed=0)
+    with pytest.raises(FileNotFoundError):
+        list(loader)
+
+
+def test_device_cache_on_requires_frames(synthetic_dataset, tmp_path):
+    import dataclasses
+
+    from srl_zoo_tpu.training.learner import SRL4robotics
+
+    ds = dataclasses.replace(synthetic_dataset, frames=None)
+    cfg = SRLConfig(state_dim=2, img_height=32, img_width=32, batch_size=4,
+                    epochs=1, losses=(("autoencoder", 1.0),),
+                    split_dims=(("autoencoder", -1),),
+                    device_cache="on", log_folder=str(tmp_path / "x"))
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    with pytest.raises(ValueError, match="device-cache"):
+        learner.learn(ds)
+
+
+def test_state_encoder_rejects_wrong_geometry(synthetic_dataset, tmp_path):
+    from srl_zoo_tpu.inference import StateEncoder
+    from srl_zoo_tpu.training.learner import SRL4robotics
+
+    ds = synthetic_dataset
+    cfg = SRLConfig(state_dim=2, img_height=32, img_width=32, batch_size=8,
+                    epochs=1, losses=(("autoencoder", 1.0),),
+                    split_dims=(("autoencoder", -1),),
+                    log_folder=str(tmp_path / "enc"))
+    SRL4robotics(cfg, log_folder=cfg.log_folder).learn(ds)
+    cfg.save(cfg.log_folder)
+    enc = StateEncoder.load(cfg.log_folder)
+    with pytest.raises(ValueError, match="expected uint8 observations"):
+        enc.encode(np.zeros((64, 64, 3), np.uint8))
+
+
+def test_preprocess_requires_records(tmp_path):
+    from srl_zoo_tpu.preprocessing.preprocess import preprocess_folder
+    with pytest.raises(FileNotFoundError):
+        preprocess_folder(str(tmp_path))
+
+
+def test_supervised_dim_mismatch_is_loud(synthetic_dataset, tmp_path):
+    from srl_zoo_tpu.training.learner import SRL4robotics
+    cfg = SRLConfig(state_dim=7, img_height=32, img_width=32, batch_size=8,
+                    epochs=1, losses=(("supervised", 1.0),),
+                    split_dims=(("supervised", -1),),
+                    log_folder=str(tmp_path / "sup"))
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    with pytest.raises(ValueError, match="supervised"):
+        learner.learn(synthetic_dataset)
