@@ -147,3 +147,31 @@ def test_synthetic_kuka_task(tmp_path):
     ds = load_dataset(folder)
     assert ds.n_samples == 24
     assert ds.ground_truth_states.shape[1] == 2
+
+
+def test_train_cli_resume(ds_folder, tmp_path, monkeypatch):
+    """--resume continues from the full-state checkpoint (step count grows
+    instead of restarting)."""
+    monkeypatch.chdir(tmp_path)
+    import train as train_cli
+    from srl_zoo_tpu.config import SRLConfig
+    from srl_zoo_tpu.training import checkpoint as ckpt
+    from srl_zoo_tpu.training.state import create_train_state
+
+    import jax
+
+    log = str(tmp_path / "resume_log")
+    base = ["--data-folder", ds_folder, "--losses", "autoencoder",
+            "--state-dim", "4", "-bs", "8", "--seed", "1",
+            "--log-folder", log]
+    train_cli.main(base + ["--epochs", "1"])
+    cfg = SRLConfig.load(log)
+    _, template, _ = create_train_state(cfg, jax.random.PRNGKey(0))
+    step_after_1 = int(ckpt.restore_train_state(log,
+                                                jax.device_get(template)).step)
+    train_cli.main(base + ["--epochs", "3", "--resume"])
+    step_after_3 = int(ckpt.restore_train_state(log,
+                                                jax.device_get(template)).step)
+    assert step_after_3 > step_after_1
+    # resumed run did NOT redo epoch 1: exactly 2 more epochs of steps
+    assert step_after_3 == 3 * step_after_1
