@@ -190,6 +190,9 @@ class DataLoader:
         order = self._epoch_indices(rng)
         b = self.cfg.batch_size
         n = len(order)
+        if n == 0:
+            raise ValueError("DataLoader got an empty index set — dataset "
+                             "too small for the train/val split?")
 
         batches_idx = []
         n_full = n // b
