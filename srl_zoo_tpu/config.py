@@ -104,6 +104,10 @@ def compute_split_slices(losses: Dict[str, float], split_dims: Dict[str, int],
             offset += dim
         else:
             slices[name] = prev
+    if offset != state_dim:
+        raise ValueError(
+            f"Declared split dimensions sum to {offset} but state_dim is "
+            f"{state_dim}: {dict(split_dims)}")
     return slices
 
 

@@ -73,3 +73,29 @@ def test_multiview_six_channel_trains_cached(synthetic_dataset_mv, tmp_path):
     learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
     metrics = learner.learn(ds)
     assert np.isfinite(metrics["total"])
+
+def test_mega_combination_with_splits(synthetic_dataset, tmp_path):
+    """Everything at once: reconstruction + dynamics heads + priors +
+    reward-prior + episode-prior, each routed to its own state slice."""
+    ds = synthetic_dataset
+    losses = (("autoencoder", 1.0), ("forward", 1.0), ("inverse", 2.0),
+              ("reward", 1.0), ("priors", 1.0), ("reward-prior", 1.0),
+              ("episode-prior", 1.0))
+    splits = (("autoencoder", 6), ("forward", 2), ("inverse", -1),
+              ("reward", -1), ("priors", 4), ("reward-prior", 2),
+              ("episode-prior", 2))
+    cfg = SRLConfig(state_dim=16, img_height=32, img_width=32, batch_size=16,
+                    epochs=2, losses=losses, split_dims=splits,
+                    n_actions=ds.n_actions,
+                    n_reward_classes=ds.n_reward_classes,
+                    device_cache="on",
+                    log_folder=str(tmp_path / "mega"))
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    metrics = learner.learn(ds)
+    assert np.isfinite(metrics["total"])
+    hist = np.load(tmp_path / "mega" / "loss_history.npz")
+    for name in ("autoencoder", "forward", "inverse", "reward", "priors",
+                 "reward-prior", "episode-prior"):
+        assert f"train/{name}" in hist, name
+    states = learner.predict_states(ds)
+    assert states.shape == (ds.n_samples, 16)
