@@ -139,6 +139,9 @@ class SRLConfig:
     compute_dtype: str = "float32"  # or "bfloat16" for MXU-friendly compute
     inverse_model_type: str = "linear"  # "linear" | "mlp"
     path_to_dae: str = ""
+    # torch resnet18 state_dict (.npz or .pth) to port into the encoder
+    # (reference: torchvision ImageNet-pretrained ResNet-18)
+    pretrained_weights: str = ""
     data_folder: str = ""
     log_folder: str = ""
     num_cpu: int = 4
@@ -252,6 +255,7 @@ class SRLConfig:
             "compute-dtype": self.compute_dtype,
             "inverse-model-type": self.inverse_model_type,
             "path-to-dae": self.path_to_dae,
+            "pretrained-weights": self.pretrained_weights,
             "img-shape": [self.img_height, self.img_width, self.n_channels],
             "val-size": self.val_size,
             "num-cpu": self.num_cpu,
@@ -297,6 +301,7 @@ class SRLConfig:
             compute_dtype=cfg.get("compute-dtype", "float32"),
             inverse_model_type=cfg.get("inverse-model-type", "linear"),
             path_to_dae=cfg.get("path-to-dae", ""),
+            pretrained_weights=cfg.get("pretrained-weights", ""),
             data_folder=cfg.get("data-folder", ""),
             log_folder=cfg.get("log-folder", ""),
             num_cpu=int(cfg.get("num-cpu", 4)),
@@ -339,6 +344,7 @@ def build_config(args, losses: Dict[str, float], split_dims: Dict[str, int],
         compute_dtype=getattr(args, "dtype", "float32"),
         inverse_model_type=getattr(args, "inverse_model_type", "linear"),
         path_to_dae=getattr(args, "path_to_dae", "") or "",
+        pretrained_weights=getattr(args, "pretrained_weights", "") or "",
         device_cache=getattr(args, "device_cache", "auto"),
         data_folder=args.data_folder,
         log_folder=getattr(args, "log_folder", ""),

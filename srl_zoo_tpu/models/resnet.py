@@ -3,8 +3,10 @@
 Reference: models/models.py ``ConvolutionalNetwork`` wraps torchvision's
 ImageNet-pretrained ResNet-18 with the final fc replaced by a ``state_dim``
 head. This host has no network access and no checked-in torchvision weights,
-so the rebuild trains from scratch (documented deviation, SURVEY.md §7
-"hard parts"); the architecture matches ResNet-18 (BasicBlock x [2,2,2,2]).
+so the rebuild trains from scratch by default; torchvision weights CAN be
+ported exactly via models/torch_port.py (padding below is torch-style
+explicit, not XLA 'SAME', so ported outputs match numerically).
+Architecture matches ResNet-18 (BasicBlock x [2,2,2,2]).
 """
 
 from __future__ import annotations
@@ -24,10 +26,12 @@ class BasicBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         residual = x
         y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
-                    use_bias=False, dtype=self.dtype)(x)
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype)(x)
         y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), use_bias=False, dtype=self.dtype)(y)
+        y = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype)(y)
         y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.features, (1, 1),
@@ -45,11 +49,11 @@ class ResNet18(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        x = nn.Conv(64, (7, 7), strides=(2, 2), use_bias=False,
-                    dtype=self.dtype)(x)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         features = 64
         for stage, n_blocks in enumerate(self.stage_sizes):
             for block in range(n_blocks):

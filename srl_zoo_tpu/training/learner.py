@@ -70,6 +70,8 @@ class SRL4robotics:
         self.rng = jax.random.PRNGKey(cfg.seed)
         self.rng, init_rng = jax.random.split(self.rng)
         self.model, self.state, self.tx = create_train_state(cfg, init_rng)
+        if cfg.pretrained_weights:
+            self._load_pretrained_encoder(cfg.pretrained_weights)
 
         dae_feature_fn = None
         if cfg.path_to_dae:
@@ -111,6 +113,30 @@ class SRL4robotics:
             self._cache = None
         self._cache_key = key
         return self._cache
+
+    def _load_pretrained_encoder(self, weights_path: str) -> None:
+        """Port torchvision ResNet-18 weights into the encoder (reference:
+        models/models.py ImageNet-pretrained ConvolutionalNetwork). The final
+        Dense head keeps its fresh init (the reference replaces fc too)."""
+        if self.cfg.model_type != "resnet":
+            raise ValueError("--pretrained-weights currently supports "
+                             "--model-type resnet only")
+        from srl_zoo_tpu.models.torch_port import load_ported_resnet18
+
+        ported_params, ported_stats = load_ported_resnet18(
+            weights_path, state_dim=-1)  # never port the 1000-way fc
+        enc_params = dict(self.state.params["encoder"])
+        enc_stats = dict(self.state.batch_stats["encoder"])
+        enc_params.update(ported_params)
+        enc_stats.update(ported_stats)
+        params = dict(self.state.params)
+        params["encoder"] = enc_params
+        batch_stats = dict(self.state.batch_stats)
+        batch_stats["encoder"] = enc_stats
+        self.state = self.state.replace(
+            params=params, batch_stats=batch_stats,
+            opt_state=self.tx.init(params))
+        printGreen(f"Ported pretrained ResNet-18 weights from {weights_path}")
 
     # ---- frozen DAE for perceptual similarity --------------------------------
     @staticmethod

@@ -65,6 +65,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--path-to-dae", type=str, default="",
                         help="Log folder of a pretrained DAE "
                              "(perceptual loss)")
+    parser.add_argument("--pretrained-weights", type=str, default="",
+                        help="torch resnet18 state_dict (.npz or .pth) to "
+                             "port into the encoder (--model-type resnet)")
     parser.add_argument("--log-folder", type=str, default="",
                         help="Where to write the run (default: "
                              "logs/<dataset>/<timestamp>_<model>_<losses>)")
