@@ -69,9 +69,17 @@ def run_experiment(data_folder: str, losses, state_dim: int, model_type: str,
     acc = predict_reward.main(["--log-folder", log_folder])
     with open(os.path.join(log_folder, "gtc.txt")) as f:
         gtc = float(f.read().strip())
+    ips = 0.0
+    metrics_path = os.path.join(log_folder, "metrics.jsonl")
+    if os.path.exists(metrics_path):
+        with open(metrics_path) as f:
+            for line in f:
+                rec = json.loads(line)
+                ips = max(ips, rec.get("images_per_sec", 0.0))
     return {"log_folder": log_folder, "losses": list(losses),
             "state_dim": state_dim, "model_type": model_type,
-            "knn_mse": knn, "gtc": gtc, "reward_accuracy": acc}
+            "knn_mse": knn, "gtc": gtc, "reward_accuracy": acc,
+            "images_per_sec": round(ips, 1)}
 
 
 def main(argv=None):

@@ -1,0 +1,32 @@
+"""Plotting: every branch renders and writes files headlessly."""
+
+import os
+
+import numpy as np
+
+
+def test_plot_representation_dims(tmp_path, rng):
+    from srl_zoo_tpu.plotting.representation_plot import plot_representation
+    rewards = rng.randn(50)
+    for d in (1, 2, 3, 10):  # 1D line, 2D scatter, 3D scatter, PCA path
+        out = str(tmp_path / f"states_{d}d.png")
+        plot_representation(rng.randn(50, d), rewards, out)
+        assert os.path.exists(out)
+
+
+def test_plot_correlation(tmp_path, rng):
+    from srl_zoo_tpu.plotting.representation_plot import plot_correlation
+    out = str(tmp_path / "corr.png")
+    plot_correlation(rng.rand(8, 2) * 2 - 1, out)
+    assert os.path.exists(out)
+
+
+def test_plot_losses_from_history(tmp_path):
+    from srl_zoo_tpu.plotting.losses_plot import plot_losses
+    hist = str(tmp_path / "loss_history.npz")
+    np.savez(hist, epoch=np.arange(5),
+             **{"train/total": np.linspace(1, 0.1, 5),
+                "val/total": np.linspace(1.2, 0.3, 5)})
+    out = str(tmp_path / "losses.png")
+    plot_losses(hist, out)
+    assert os.path.exists(out)
