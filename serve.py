@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Serve a trained SRL encoder over HTTP (production hand-off).
+
+Downstream RL or robot controllers that don't embed JAX can get states over
+the wire: POST raw npy bytes of a uint8 observation (H, W, C) or batch
+(B, H, W, C) to ``/encode`` and receive npy bytes of float32 states. The
+encoder is the jitted fixed-batch StateEncoder (no per-request recompiles);
+requests are serialized through a lock (one accelerator, one queue).
+
+  python serve.py --log-folder logs/<run> --port 8080
+  # client:
+  #   buf = io.BytesIO(); np.save(buf, obs)
+  #   states = np.load(io.BytesIO(requests.post(url, data=buf.getvalue()).content))
+
+GET /healthz returns run metadata. Stdlib-only (http.server); for heavy fleets
+put it behind any standard HTTP load balancer, one process per chip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def make_handler(encoder, info: dict):
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _reply(self, code: int, body: bytes,
+                   ctype: str = "application/octet-stream"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, json.dumps(info).encode(),
+                            "application/json")
+            else:
+                self._reply(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path != "/encode":
+                self._reply(404, b"not found", "text/plain")
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                obs = np.load(io.BytesIO(self.rfile.read(length)),
+                              allow_pickle=False)
+                with lock:
+                    states = encoder.encode(obs)
+                buf = io.BytesIO()
+                np.save(buf, np.asarray(states, np.float32))
+                self._reply(200, buf.getvalue())
+            except Exception as e:
+                self._reply(400, str(e).encode(), "text/plain")
+
+    return Handler
+
+
+def build_server(log_folder: str, host: str = "127.0.0.1", port: int = 8080,
+                 max_batch: int = 32) -> ThreadingHTTPServer:
+    from srl_zoo_tpu.inference import StateEncoder
+
+    encoder = StateEncoder.load(log_folder, max_batch=max_batch)
+    cfg = encoder.cfg
+    info = {"log_folder": log_folder, "state_dim": cfg.state_dim,
+            "model_type": cfg.model_type,
+            "img_shape": [cfg.img_height, cfg.img_width, cfg.n_channels],
+            "losses": dict(cfg.losses)}
+    # warm the jit so the first request isn't a compile
+    encoder.encode(np.zeros((cfg.img_height, cfg.img_width, cfg.n_channels),
+                            np.uint8))
+    return ThreadingHTTPServer((host, port), make_handler(encoder, info))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Serve a trained SRL encoder")
+    p.add_argument("--log-folder", type=str, required=True)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--max-batch", type=int, default=32)
+    args = p.parse_args(argv)
+    server = build_server(args.log_folder, args.host, args.port,
+                          args.max_batch)
+    print(f"Serving {args.log_folder} on http://{args.host}:{args.port} "
+          "(POST /encode, GET /healthz)")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
