@@ -107,6 +107,9 @@ def main(argv=None):
                    help="JSON grid config (overrides the flags above)")
     args = p.parse_args(argv)
 
+    from srl_zoo_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     if args.exp_config:
         with open(args.exp_config) as f:
             grid = json.load(f)
