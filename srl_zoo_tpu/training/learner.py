@@ -85,6 +85,11 @@ class SRL4robotics:
         self.state = jax.device_put(self.state, rep)
         self._cache = None
         self._cache_key = None
+        n_params = sum(p.size for p in
+                       jax.tree_util.tree_leaves(self.state.params))
+        printGreen(f"Model: {cfg.model_type}, {n_params / 1e6:.2f}M params, "
+                   f"{self.mesh.devices.size}-device data-parallel mesh, "
+                   f"compute dtype {cfg.compute_dtype}")
 
     def _ensure_cache(self, dataset: Dataset):
         """Build (once) the HBM-resident frame cache when it fits — the
