@@ -8,3 +8,4 @@ for KNN evaluation and priors-style losses.
 
 from srl_zoo_tpu.ops.preproc import normalize_images, denormalize_images, occlude  # noqa: F401
 from srl_zoo_tpu.ops.pairwise import pairwise_sqdist  # noqa: F401
+from srl_zoo_tpu.ops.gather_norm import gather_normalize  # noqa: F401
