@@ -134,6 +134,11 @@ class SRLConfig:
     l2_reg: float = 0.0
     beta: float = 1.0
     occlusion_percentage: float = 0.5
+    # DAE corruption: "occlusion" (random square patch) or "gaussian"
+    # (additive noise via the GaussianNoise layer of the reference's
+    # models/custom_layers.py)
+    noise_type: str = "occlusion"
+    noise_std: float = 0.2
     balanced_sampling: bool = False
     normalize_mode: str = "tf"  # "tf" -> [-1, 1]; "image_net" -> mean/std
     compute_dtype: str = "float32"  # or "bfloat16" for MXU-friendly compute
@@ -251,6 +256,8 @@ class SRLConfig:
             "l1-reg": self.l1_reg,
             "l2-reg": self.l2_reg,
             "occlusion-percentage": self.occlusion_percentage,
+            "noise-type": self.noise_type,
+            "noise-std": self.noise_std,
             "normalize-mode": self.normalize_mode,
             "compute-dtype": self.compute_dtype,
             "inverse-model-type": self.inverse_model_type,
@@ -296,6 +303,8 @@ class SRLConfig:
             l2_reg=float(cfg.get("l2-reg", 0.0)),
             beta=float(cfg.get("beta", 1.0)),
             occlusion_percentage=float(cfg.get("occlusion-percentage", 0.5)),
+            noise_type=cfg.get("noise-type", "occlusion"),
+            noise_std=float(cfg.get("noise-std", 0.2)),
             balanced_sampling=bool(cfg.get("balanced-sampling", False)),
             normalize_mode=cfg.get("normalize-mode", "tf"),
             compute_dtype=cfg.get("compute-dtype", "float32"),
@@ -340,6 +349,8 @@ def build_config(args, losses: Dict[str, float], split_dims: Dict[str, int],
         l2_reg=getattr(args, "l2_reg", 0.0),
         beta=getattr(args, "beta", 1.0),
         occlusion_percentage=getattr(args, "occlusion_percentage", 0.5),
+        noise_type=getattr(args, "noise_type", "occlusion"),
+        noise_std=getattr(args, "noise_std", 0.2),
         balanced_sampling=getattr(args, "balanced_sampling", False),
         compute_dtype=getattr(args, "dtype", "float32"),
         inverse_model_type=getattr(args, "inverse_model_type", "linear"),

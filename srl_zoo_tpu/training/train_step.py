@@ -90,7 +90,11 @@ def build_steps(cfg: SRLConfig, model: SRLModules, tx,
         neg = norm(neg_u8) if cfg.use_triplet else None
         occluded = None
         if cfg.use_dae:
-            occluded = occlude(rng, obs, cfg.occlusion_percentage)
+            if cfg.noise_type == "gaussian":
+                from srl_zoo_tpu.ops.preproc import gaussian_noise
+                occluded = gaussian_noise(rng, obs, cfg.noise_std)
+            else:
+                occluded = occlude(rng, obs, cfg.occlusion_percentage)
         return obs, (obs, next_obs, actions, pos, neg, occluded)
 
     def _extras(variables, params, outputs, batch,

@@ -99,3 +99,16 @@ def test_mega_combination_with_splits(synthetic_dataset, tmp_path):
         assert f"train/{name}" in hist, name
     states = learner.predict_states(ds)
     assert states.shape == (ds.n_samples, 16)
+
+
+def test_dae_gaussian_noise_variant(synthetic_dataset, tmp_path):
+    """DAE with the GaussianNoise corruption (reference custom_layers.py)."""
+    ds = synthetic_dataset
+    cfg = SRLConfig(state_dim=4, img_height=32, img_width=32, batch_size=16,
+                    epochs=1, losses=(("dae", 1.0),),
+                    split_dims=(("dae", -1),), noise_type="gaussian",
+                    noise_std=0.3, device_cache="on",
+                    log_folder=str(tmp_path / "gdae"))
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    metrics = learner.learn(ds)
+    assert np.isfinite(metrics["total"])

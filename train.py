@@ -56,6 +56,12 @@ def parse_args(argv=None) -> argparse.Namespace:
                         help="beta for the beta-VAE KL term")
     parser.add_argument("--occlusion-percentage", type=float, default=0.5,
                         help="DAE occlusion fraction")
+    parser.add_argument("--noise-type", type=str, default="occlusion",
+                        choices=["occlusion", "gaussian"],
+                        help="DAE corruption: occluded patch or additive "
+                             "Gaussian noise (reference GaussianNoise layer)")
+    parser.add_argument("--noise-std", type=float, default=0.2,
+                        help="Gaussian DAE noise stddev (normalized units)")
     parser.add_argument("--multi-view", action="store_true",
                         help="Use two camera views (6-channel input / triplet)")
     parser.add_argument("--balanced-sampling", action="store_true",
