@@ -44,7 +44,7 @@ def check_dataset(data_folder: str, img_size: int) -> None:
 
 
 def run_experiment(data_folder: str, losses, state_dim: int, model_type: str,
-                   args) -> dict:
+                   args, seed: int) -> dict:
     """One grid cell: train + knn eval + reward probe, all in-process."""
     import train as train_cli
     from srl_zoo_tpu.evaluation import knn_images, predict_reward
@@ -55,7 +55,7 @@ def run_experiment(data_folder: str, losses, state_dim: int, model_type: str,
              "--model-type", model_type,
              "--epochs", str(args.epochs),
              "-bs", str(args.batch_size),
-             "--seed", str(args.seed),
+             "--seed", str(seed),
              "--val-size", str(args.val_size),
              "--training-set-size", str(args.training_set_size)]
     if args.multi_view:
@@ -77,9 +77,25 @@ def run_experiment(data_folder: str, losses, state_dim: int, model_type: str,
                 rec = json.loads(line)
                 ips = max(ips, rec.get("images_per_sec", 0.0))
     return {"log_folder": log_folder, "losses": list(losses),
-            "state_dim": state_dim, "model_type": model_type,
+            "state_dim": state_dim, "model_type": model_type, "seed": seed,
             "knn_mse": knn, "gtc": gtc, "reward_accuracy": acc,
             "images_per_sec": round(ips, 1)}
+
+
+def aggregate_seeds(per_seed: list) -> dict:
+    """Mean/std across seeds for one grid cell (reference papers report
+    multi-seed statistics for every method)."""
+    import numpy as np
+    agg = dict(per_seed[0])
+    agg.pop("seed", None)
+    agg["seeds"] = [r["seed"] for r in per_seed]
+    agg["log_folders"] = [r["log_folder"] for r in per_seed]
+    agg.pop("log_folder", None)
+    for key in ("knn_mse", "gtc", "reward_accuracy"):
+        vals = np.asarray([r[key] for r in per_seed], float)
+        agg[key] = float(vals.mean())
+        agg[f"{key}_std"] = float(vals.std())
+    return agg
 
 
 def main(argv=None):
@@ -95,6 +111,9 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("-bs", "--batch-size", type=int, default=32)
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--seeds", nargs="+", type=int, default=None,
+                   help="Run each experiment with several seeds and report "
+                        "mean±std (overrides --seed)")
     p.add_argument("--val-size", type=float, default=0.2)
     p.add_argument("--training-set-size", type=int, default=-1)
     p.add_argument("--multi-view", action="store_true")
@@ -132,13 +151,17 @@ def main(argv=None):
         else os.path.join("data", dataset_name)
     check_dataset(data_folder, args.img_size)
 
+    seeds = args.seeds or [args.seed]
     results = []
     for losses, state_dim, model_type in itertools.product(
             loss_groups, args.state_dims, args.model_types):
         printGreen(f"\n=== Experiment: {model_type} dim={state_dim} "
-                   f"losses={losses} ===")
-        results.append(run_experiment(data_folder, losses, state_dim,
-                                      model_type, args))
+                   f"losses={losses} seeds={seeds} ===")
+        per_seed = [run_experiment(data_folder, losses, state_dim,
+                                   model_type, args, seed)
+                    for seed in seeds]
+        results.append(aggregate_seeds(per_seed) if len(per_seed) > 1
+                       else per_seed[0])
 
     report_dir = os.path.join("logs", dataset_name)
     os.makedirs(report_dir, exist_ok=True)

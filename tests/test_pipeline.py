@@ -175,3 +175,16 @@ def test_train_cli_resume(ds_folder, tmp_path, monkeypatch):
     assert step_after_3 > step_after_1
     # resumed run did NOT redo epoch 1: exactly 2 more epochs of steps
     assert step_after_3 == 3 * step_after_1
+
+
+def test_pipeline_multi_seed(ds_folder, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import pipeline as pipeline_cli
+    results = pipeline_cli.main(
+        ["--data-folder", ds_folder, "--losses", "autoencoder",
+         "--state-dims", "4", "--epochs", "1", "-bs", "8", "--no-grids",
+         "--seeds", "1", "2"])
+    r = results[0]
+    assert r["seeds"] == [1, 2]
+    assert "knn_mse_std" in r and np.isfinite(r["knn_mse"])
+    assert len(r["log_folders"]) == 2
