@@ -30,3 +30,24 @@ def test_plot_losses_from_history(tmp_path):
     out = str(tmp_path / "losses.png")
     plot_losses(hist, out)
     assert os.path.exists(out)
+
+
+def test_profile_summarizer(synthetic_dataset, tmp_path):
+    """--profile trace -> readable category table (CPU trace)."""
+    import pytest
+    pytest.importorskip("tensorflow")
+
+    from srl_zoo_tpu.config import SRLConfig
+    from srl_zoo_tpu.training.learner import SRL4robotics
+    from srl_zoo_tpu.utils.profiling import summarize_profile_dir
+
+    ds = synthetic_dataset
+    cfg = SRLConfig(state_dim=4, img_height=32, img_width=32, batch_size=16,
+                    epochs=1, losses=(("autoencoder", 1.0),),
+                    split_dims=(("autoencoder", -1),),
+                    log_folder=str(tmp_path / "prof"))
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    learner.learn(ds, profile=True)
+    rows = summarize_profile_dir(str(tmp_path / "prof" / "profile"))
+    assert rows and all(len(r) == 3 for r in rows)
+    assert sum(r[1] for r in rows) > 0
