@@ -24,13 +24,14 @@ def summarize_xplane(xplane_path: str, top: int = 12
 
     out = pp.xspace_to_tools_data([xplane_path], "op_profile")
     data = json.loads(out[0])
-    cat = data["byCategory"]
-    total = cat["metrics"]["rawTime"] or 1
+    cat = data.get("byCategory", {})
+    total = cat.get("metrics", {}).get("rawTime", 0) or 1
     rows = []
     for ch in cat.get("children", []):
-        t = ch["metrics"]["rawTime"]
-        rows.append((ch["name"], 100.0 * t / total,
-                     100.0 * ch["metrics"].get("flops", 0.0)))
+        m = ch.get("metrics", {})  # CPU traces may omit metrics on some nodes
+        rows.append((ch.get("name", "?"),
+                     100.0 * m.get("rawTime", 0) / total,
+                     100.0 * m.get("flops", 0.0)))
     rows.sort(key=lambda r: -r[1])
     return rows[:top]
 
