@@ -188,3 +188,16 @@ def test_pipeline_multi_seed(ds_folder, tmp_path, monkeypatch):
     assert r["seeds"] == [1, 2]
     assert "knn_mse_std" in r and np.isfinite(r["knn_mse"])
     assert len(r["log_folders"]) == 2
+
+
+def test_balanced_sampling_and_l1_cli(ds_folder, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import train as train_cli
+    log = str(tmp_path / "bal")
+    train_cli.main(["--data-folder", ds_folder, "--losses", "reward",
+                    "--state-dim", "4", "-bs", "8", "--epochs", "1",
+                    "--seed", "1", "--log-folder", log,
+                    "--balanced-sampling", "--l1-reg", "0.01"])
+    hist = np.load(os.path.join(log, "loss_history.npz"))
+    assert "train/l1_reg" in hist
+    assert np.isfinite(hist["train/total"]).all()
