@@ -1,0 +1,56 @@
+"""The driver-facing entry points (__graft_entry__.py) — the one file the
+driver actually runs, so the one file that most needs tests (VERDICT r1
+weak #1: round 1's only red gate was an untested dryrun_multichip).
+"""
+
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_entry_compiles_and_runs():
+    sys.path.insert(0, REPO)
+    try:
+        import __graft_entry__ as g
+    finally:
+        sys.path.pop(0)
+    fn, args = g.entry()
+    states, recon = jax.jit(fn)(*args)
+    assert states.shape[0] == args[1].shape[0]
+    assert np.all(np.isfinite(np.asarray(states)))
+    assert recon.shape == args[1].shape  # NHWC reconstruction
+
+
+def test_dryrun_multichip_in_process():
+    """conftest already forces 8 virtual CPU devices; the dryrun must run
+    against them without resetting anything."""
+    sys.path.insert(0, REPO)
+    try:
+        import __graft_entry__ as g
+    finally:
+        sys.path.pop(0)
+    g.dryrun_multichip(8)
+    # and it must not have broken the test session's backend
+    assert len(jax.devices()) == 8
+
+
+def test_dryrun_multichip_hermetic_in_driver_env():
+    """Simulate the driver environment exactly: JAX_PLATFORMS pointing at a
+    non-CPU platform and NO xla_force_host_platform_device_count.  The dryrun
+    must force virtual CPU devices itself and never contact that platform
+    (round 1 died in a real TPU-client call here)."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "axon"  # as the axon sitecustomize sets it
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "sharded train step OK" in proc.stdout
+    assert "epoch scan OK" in proc.stdout
