@@ -3,6 +3,10 @@
 Reference contract (L0, SURVEY.md §1): a dataset folder contains
   * ``preprocessed_data.npz`` — ``actions`` (N,) int, ``rewards`` (N,) float or
     discretized int, ``episode_starts`` (N,) bool,
+    Reward convention: ``rewards[t]`` is the reward received upon ARRIVING at
+    frame t (0 at episode start) — so ``rewards[idx + 1]`` is the reward of
+    transition idx = (frame idx, action idx, frame idx+1), which is what the
+    loader ships for the reward model / causality prior / balanced sampling,
   * ``ground_truth.npz`` — ``ground_truth_states`` (N, d) float,
     ``images_path`` (N,) str (paths relative to the data root),
   * per-episode image folders ``record_*/frame*.jpg``.

@@ -82,6 +82,9 @@ def generate_dataset(
 
     for ep in range(n_episodes):
         pos = rng.uniform(0.1, 0.9, size=2).astype(np.float32)
+        prev_r = 0.0  # training-schema convention: rewards[t] is the reward
+        # received upon ARRIVING at frame t (0 at episode start), so the
+        # loader's rewards[idx + 1] read yields the reward of transition idx.
         for t in range(episode_len):
             a = int(rng.randint(4))
             new_pos = pos + moves[a]
@@ -93,8 +96,9 @@ def generate_dataset(
 
             episode_starts.append(t == 0)
             actions.append(a)
-            rewards.append(r)
+            rewards.append(prev_r)
             states.append(pos.copy())
+            prev_r = r
             frames.append(_render_frame(pos, target, img_size, view=0))
             images_path.append(f"record_{ep:03d}/frame{t:06d}.jpg")
             if multi_view:

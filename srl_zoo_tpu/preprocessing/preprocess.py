@@ -31,7 +31,15 @@ def preprocess_folder(data_folder: str) -> None:
     """Concatenate per-episode ``record_*/episode_data.npz`` files into the
     training schema. Each episode npz must hold ``actions`` (T,), ``rewards``
     (T,) and ``ground_truth_states`` (T, d); frames are the sorted
-    ``frame*.jpg`` files of the same folder."""
+    ``frame*.jpg`` files of the same folder.
+
+    Reward convention: recorded episodes store ``rewards[t]`` = reward of
+    acting at frame t (natural env.step semantics — data/record.py). The
+    training schema stores the reward of *arriving* at frame t, so the
+    loader's ``rewards[idx + 1]`` read yields the reward of transition idx;
+    each episode's rewards are therefore shifted right by one here (0 at
+    episode start; the final transition's reward has no arrival frame and is
+    dropped)."""
     records = sorted(glob.glob(os.path.join(data_folder, "record_*")))
     if not records:
         raise FileNotFoundError(f"No record_* folders in {data_folder}")
@@ -49,7 +57,8 @@ def preprocess_folder(data_folder: str) -> None:
         if len(frames) < t:
             raise ValueError(f"{rec}: {len(frames)} frames for {t} steps")
         actions.append(np.asarray(ep["actions"], np.int32))
-        rewards.append(np.asarray(ep["rewards"], np.float32))
+        ep_rewards = np.asarray(ep["rewards"], np.float32)
+        rewards.append(np.concatenate([[0.0], ep_rewards[:-1]]).astype(np.float32))
         starts = np.zeros(t, bool)
         starts[0] = True
         episode_starts.append(starts)

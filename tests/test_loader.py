@@ -115,3 +115,65 @@ def test_loader_determinism(synthetic_dataset):
     b1 = list(DataLoader(ds, idx, cfg, shuffle=True, seed=7))
     b2 = list(DataLoader(ds, idx, cfg, shuffle=True, seed=7))
     np.testing.assert_array_equal(b1[0]["indices"], b2[0]["indices"])
+
+
+def test_reward_arrival_convention(tmp_path):
+    """Training-schema convention: rewards[t] = reward received upon ARRIVING
+    at frame t, so the loader's rewards[idx+1] read yields the reward of
+    transition idx (ADVICE r1: generator/loader previously disagreed)."""
+    from srl_zoo_tpu.data.schema import load_dataset
+    from srl_zoo_tpu.data.synthetic import generate_dataset
+
+    folder = str(tmp_path / "conv")
+    generate_dataset(folder, n_episodes=3, episode_len=30, img_size=16, seed=3)
+    ds = load_dataset(folder)
+
+    # episode starts carry reward 0 (no arrival transition)
+    assert np.all(ds.rewards[ds.episode_starts] == 0.0)
+
+    # re-simulate the generator's deterministic dynamics (same seed/rng call
+    # order) and check rewards[t+1] == reward of the transition t -> t+1.
+    rng2 = np.random.RandomState(3)
+    moves = 0.08 * np.array([[1, 0], [-1, 0], [0, 1], [0, -1]], np.float32)
+    target = np.array([0.85, 0.85], np.float32)
+    t = 0
+    for _ in range(3):  # n_episodes
+        pos = rng2.uniform(0.1, 0.9, size=2).astype(np.float32)
+        for step in range(30):  # episode_len
+            a = int(rng2.randint(4))
+            assert ds.actions[t] == a
+            np.testing.assert_allclose(ds.ground_truth_states[t], pos,
+                                       atol=1e-6)
+            new_pos = pos + moves[a]
+            hit_wall = bool(np.any(new_pos < 0.02) or np.any(new_pos > 0.98))
+            new_pos = np.clip(new_pos, 0.02, 0.98)
+            at_target = bool(np.linalg.norm(new_pos - target) < 0.1)
+            r = 1.0 if at_target else (-1.0 if hit_wall else 0.0)
+            if step < 29:  # transition t -> t+1 stays within the episode
+                assert ds.rewards[t + 1] == r, (t, r, ds.rewards[t + 1])
+            pos = new_pos
+            t += 1
+
+
+def test_preprocess_shifts_recorded_rewards(tmp_path):
+    """record() stores env.step semantics (reward of acting at frame t);
+    preprocess_folder must shift to arrival semantics."""
+    from srl_zoo_tpu.data.record import DatasetRecorder
+    from srl_zoo_tpu.preprocessing.preprocess import preprocess_folder
+
+    folder = str(tmp_path / "rec")
+    rec = DatasetRecorder(folder)
+    obs = np.zeros((16, 16, 3), np.uint8)
+    for ep in range(2):
+        rec.new_episode()
+        for t in range(4):
+            rec.record(obs, action=t % 2, reward=float(10 * ep + t),
+                       ground_truth_state=np.zeros(2, np.float32))
+    rec.close()
+    preprocess_folder(folder)
+    pre = np.load(folder + "/preprocessed_data.npz")
+    # arrival convention: [0, r0, r1, r2] per episode (final r3 dropped)
+    np.testing.assert_allclose(pre["rewards"],
+                               [0, 0, 1, 2, 0, 10, 11, 12])
+    np.testing.assert_allclose(pre["episode_starts"],
+                               [1, 0, 0, 0, 1, 0, 0, 0])
