@@ -89,6 +89,43 @@ def _make_setup(batch_size: int, img: int, state_dim: int,
     return train_step, train_epoch, state, cache, host_batches, mesh
 
 
+def bench_hybrid(batch_size: int, img: int, state_dim: int,
+                 compute_dtype: str, steps: int = 12, hot_frac: float = 0.5,
+                 losses: str = "autoencoder") -> float:
+    """Hybrid mode (over-HBM-budget datasets): hot_frac of the epoch's steps
+    run from the HBM cache (whole-epoch lax.scan), the cold remainder streams
+    uint8 batches. This is the link-bandwidth lower bound for datasets that
+    don't fit: each cold sample crosses the host link exactly once per epoch."""
+    import jax
+
+    from srl_zoo_tpu.parallel.mesh import shard_stacked_batch
+
+    train_step, train_epoch, state, cache, host_batches, mesh = _make_setup(
+        batch_size, img, state_dim, compute_dtype, True, losses=losses)
+    stream_batches = _make_setup(batch_size, img, state_dim, compute_dtype,
+                                 False, losses=losses)[4]
+    rng = jax.random.PRNGKey(1)
+    k_hot = max(int(round(steps * hot_frac)), 1)
+    k_cold = max(steps - k_hot, 1)
+    stacked = {k: np.stack([host_batches[i % 4][k] for i in range(k_hot)])
+               for k in host_batches[0]}
+
+    def run_epoch():
+        nonlocal state
+        sharded = shard_stacked_batch(stacked, mesh)
+        state, metrics = train_epoch(state, sharded, rng, cache)
+        for i in range(k_cold):
+            batch = jax.device_put(stream_batches[i % 4])
+            state, metrics = train_step(state, batch, rng, None)
+        return float(jax.device_get(metrics["total"]))
+
+    run_epoch()  # compile + warm both programs
+    t0 = time.perf_counter()
+    run_epoch()
+    dt = time.perf_counter() - t0
+    return batch_size * (k_hot + k_cold) / dt
+
+
 def bench_train_step(batch_size: int, img: int, state_dim: int,
                      compute_dtype: str, cached: bool,
                      steps: int = 30, warmup: int = 3,
@@ -156,6 +193,7 @@ def main(argv=None):
             "cached_vae_b512_bf16": (512, "bfloat16", True, "vae"),
             "cached_priors_b512_bf16": (512, "bfloat16", True, "priors"),
             "streaming_b128_bf16": (128, "bfloat16", False, "autoencoder"),
+            "hybrid_b128_bf16": (128, "bfloat16", "hybrid", "autoencoder"),
         }
         img, sd, steps = 224, 200, 20
 
@@ -163,9 +201,15 @@ def main(argv=None):
     results = {}
     for name, (bs, dtype, cached, losses) in grid.items():
         try:
-            results[name] = bench_train_step(bs, img, sd, dtype, cached,
-                                             steps=steps, warmup=2,
+            if cached == "hybrid":
+                # over-budget dataset scenario: half cached, half streamed
+                results[name] = bench_hybrid(bs, img, sd, dtype,
+                                             steps=12, hot_frac=0.5,
                                              losses=losses)
+            else:
+                results[name] = bench_train_step(bs, img, sd, dtype, cached,
+                                                 steps=steps, warmup=2,
+                                                 losses=losses)
         except Exception as e:  # keep the bench line parseable on failure
             results[name] = 0.0
             results[name + "_error"] = str(e)[:200]

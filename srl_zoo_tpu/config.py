@@ -154,6 +154,28 @@ class SRLConfig:
     # device (data/device_cache.py), "on" requires it, "off" streams batches.
     device_cache: str = "auto"
 
+    def __post_init__(self):
+        if self.device_cache not in ("auto", "on", "off", "hybrid"):
+            raise ValueError(f"Unknown device_cache mode "
+                             f"'{self.device_cache}' (expected auto/on/off/"
+                             "hybrid)")
+        if self.model_type not in VALID_MODELS:
+            raise ValueError(f"Unknown model type '{self.model_type}'. "
+                             f"Valid: {', '.join(VALID_MODELS)}")
+        if self.normalize_mode not in ("tf", "image_net"):
+            raise ValueError(f"Unknown normalize mode '{self.normalize_mode}'"
+                             " (expected 'tf' or 'image_net')")
+        if self.normalize_mode == "image_net" and self.use_decoder:
+            # the decoder's tanh output lives in [-1, 1] ("tf" range);
+            # image_net-normalized targets span ~[-2.1, 2.6] and are
+            # unreachable — reject instead of silently training a loss
+            # that cannot fit (ADVICE r1)
+            recon = [n for n in self.loss_names
+                     if n in RECONSTRUCTION_LOSSES]
+            raise ValueError(
+                f"Reconstruction losses {recon} require normalize_mode='tf' "
+                "(the decoder's tanh output range); got 'image_net'")
+
     # ---- derived helpers (all static) -------------------------------------
     @property
     def loss_dict(self) -> Dict[str, float]:

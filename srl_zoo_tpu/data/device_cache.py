@@ -3,12 +3,20 @@
 Why: SRL datasets are small (tens of thousands of 224x224 uint8 frames, a few
 GB) while training revisits every frame dozens of times (30+ epochs x train +
 val + export). Streaming batches from the host makes the host link the
-bottleneck (measured ~170 MB/s through this TPU tunnel = ~1.1k img/s, while
-the chip computes ~17k img/s). The TPU-native fix is to treat the dataset
-like model weights: resident in HBM, replicated across the data mesh, with
-the per-step host traffic reduced to int32 index arrays (a few hundred bytes).
-The batch gather (``jnp.take`` on the leading axis) happens inside the jitted
-train step and fuses with the on-device normalize.
+bottleneck (measured 31-170 MB/s through this TPU tunnel, run-dependent =
+0.2-1.1k img/s, while the chip computes ~17k img/s). The TPU-native fix is to
+treat the dataset like model weights: resident in HBM, replicated across the
+data mesh, with the per-step host traffic reduced to int32 index arrays (a
+few hundred bytes). The batch gather (``jnp.take`` on the leading axis)
+happens inside the jitted train step and fuses with the on-device normalize.
+
+Datasets over the HBM budget use the HYBRID mode: a hot prefix of the frame
+store stays resident (full cached-scan speed) and the cold tail streams
+uint8 batches once per epoch. That is the link-bandwidth lower bound — each
+cold sample must cross the host link once per epoch no matter the schedule —
+so hybrid is within epsilon of optimal for over-budget datasets (measured:
+transfers do NOT overlap compute through this tunnel; two concurrent put
+streams are SLOWER than one, so smarter pipelining cannot beat fewer bytes).
 
 The reference has no equivalent (its loader re-decodes JPEGs every epoch,
 SURVEY.md §3.3); this is a rebuild-side design, not a port.
@@ -16,6 +24,7 @@ SURVEY.md §3.3); this is a rebuild-side design, not a port.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import jax
@@ -25,8 +34,18 @@ from srl_zoo_tpu.data.schema import Dataset
 from srl_zoo_tpu.parallel.mesh import replicated_sharding
 
 # Default HBM budget for the frames cache (bytes). v5e has 16 GB per chip;
-# leave room for params, activations and XLA workspace.
-DEFAULT_MAX_BYTES = 6 * 1024 ** 3
+# leave room for params, activations and XLA workspace. Override with
+# SRL_ZOO_CACHE_BUDGET_MB for hosts/chips with different HBM.
+DEFAULT_MAX_BYTES = int(os.environ.get("SRL_ZOO_CACHE_BUDGET_MB",
+                                       6 * 1024)) * 1024 ** 2
+
+
+def _frame_nbytes(dataset: Dataset, needs_view2: bool) -> Optional[int]:
+    """Bytes per cached sample (both views when needed)."""
+    if dataset.frames is None:
+        return None
+    per = int(np.prod(dataset.frames.shape[1:]))  # uint8
+    return per * (2 if needs_view2 else 1)
 
 
 def cache_nbytes(dataset: Dataset) -> Optional[int]:
@@ -40,8 +59,9 @@ def cache_nbytes(dataset: Dataset) -> Optional[int]:
 
 
 def fits(dataset: Dataset, hw: tuple, needs_view2: bool,
-         max_bytes: int = DEFAULT_MAX_BYTES) -> bool:
-    """Can this dataset be cached on device at the training resolution?"""
+         max_bytes: Optional[int] = None) -> bool:
+    """Can this dataset be FULLY cached on device at the training resolution?"""
+    max_bytes = DEFAULT_MAX_BYTES if max_bytes is None else max_bytes
     if dataset.frames is None:
         return False
     if tuple(dataset.frames.shape[1:3]) != tuple(hw):
@@ -52,20 +72,42 @@ def fits(dataset: Dataset, hw: tuple, needs_view2: bool,
     return n is not None and n <= max_bytes
 
 
-def build_cache(dataset: Dataset, mesh, needs_view2: bool
-                ) -> Dict[str, jax.Array]:
-    """One-time upload of the frame store, replicated across the mesh.
+def hybrid_hot_n(dataset: Dataset, hw: tuple, needs_view2: bool,
+                 max_bytes: Optional[int] = None) -> int:
+    """How many leading frames fit in the HBM budget (hybrid hot prefix).
 
-    Replication (not sharding) is deliberate: batch gathers use arbitrary
-    global indices (priors partners, triplet negatives), which on a sharded
-    store would turn every gather into an all-to-all. At SRL dataset sizes
-    the replica fits comfortably; past DEFAULT_MAX_BYTES the learner falls
-    back to streaming uint8 batches.
+    Returns 0 when the hybrid mode is unusable (no frames.npy at the training
+    resolution, or the budget holds too few frames to be worth a second
+    compiled program)."""
+    max_bytes = DEFAULT_MAX_BYTES if max_bytes is None else max_bytes
+    if dataset.frames is None:
+        return 0
+    if tuple(dataset.frames.shape[1:3]) != tuple(hw):
+        return 0
+    if needs_view2 and dataset.frames_2 is None:
+        return 0
+    per = _frame_nbytes(dataset, needs_view2)
+    hot = min(dataset.n_samples, max_bytes // per)
+    return int(hot)
+
+
+def build_cache(dataset: Dataset, mesh, needs_view2: bool,
+                hot_n: Optional[int] = None) -> Dict[str, jax.Array]:
+    """One-time upload of the frame store (or its first ``hot_n`` frames),
+    replicated across the mesh.
+
+    Replication (not sharding) is the single-host default: batch gathers use
+    arbitrary global indices (priors partners, triplet negatives), which on a
+    sharded store would need a collective per gather. On multi-chip meshes
+    where HBM capacity matters more than replication, see
+    ops/sharded_store.py for the reduce-scatter gather path.
     """
     rep = replicated_sharding(mesh)
-    cache = {"frames": jax.device_put(np.ascontiguousarray(dataset.frames),
-                                      rep)}
+    frames = dataset.frames if hot_n is None else dataset.frames[:hot_n]
+    cache = {"frames": jax.device_put(np.ascontiguousarray(frames), rep)}
     if needs_view2:
-        cache["frames_2"] = jax.device_put(
-            np.ascontiguousarray(dataset.frames_2), rep)
+        frames_2 = dataset.frames_2 if hot_n is None \
+            else dataset.frames_2[:hot_n]
+        cache["frames_2"] = jax.device_put(np.ascontiguousarray(frames_2),
+                                           rep)
     return cache

@@ -22,35 +22,53 @@ def _masked_mean(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(values * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
-def mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return jnp.mean(jnp.square(a.astype(jnp.float32) - b.astype(jnp.float32)))
+def _batch_mean(per_sample: jnp.ndarray,
+                valid: jnp.ndarray | None) -> jnp.ndarray:
+    """Mean over the batch axis, restricted to valid rows when a mask is
+    given (padded eval batches must not contaminate metrics — ADVICE r1)."""
+    if valid is None:
+        return jnp.mean(per_sample)
+    return _masked_mean(per_sample, valid)
+
+
+def mse(a: jnp.ndarray, b: jnp.ndarray,
+        valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    sq = jnp.square(a.astype(jnp.float32) - b.astype(jnp.float32))
+    per_sample = jnp.mean(sq.reshape(sq.shape[0], -1), axis=1)
+    return _batch_mean(per_sample, valid)
 
 
 # ---- reconstruction ----------------------------------------------------------
-def autoencoder_loss(recon: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+def autoencoder_loss(recon: jnp.ndarray, target: jnp.ndarray,
+                     valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Pixel MSE (reference: autoEncoderLoss)."""
-    return mse(recon, target)
+    return mse(recon, target, valid)
 
 
-def dae_loss(recon: jnp.ndarray, clean_target: jnp.ndarray) -> jnp.ndarray:
+def dae_loss(recon: jnp.ndarray, clean_target: jnp.ndarray,
+             valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Denoising AE: reconstruct the CLEAN frame from the occluded input
     (occlusion applied on-device before encoding; reference: daeLoss)."""
-    return mse(recon, clean_target)
+    return mse(recon, clean_target, valid)
 
 
-def kl_divergence(mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
+def kl_divergence(mu: jnp.ndarray, logvar: jnp.ndarray,
+                  valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """KL(q(z|x) || N(0, I)), mean over batch and latent dims
     (reference: kullbackLeiblerLoss)."""
     mu = mu.astype(jnp.float32)
     logvar = logvar.astype(jnp.float32)
-    return -0.5 * jnp.mean(1.0 + logvar - jnp.square(mu) - jnp.exp(logvar))
+    per_sample = -0.5 * jnp.mean(
+        1.0 + logvar - jnp.square(mu) - jnp.exp(logvar), axis=-1)
+    return _batch_mean(per_sample, valid)
 
 
 def vae_loss(recon: jnp.ndarray, target: jnp.ndarray, mu: jnp.ndarray,
-             logvar: jnp.ndarray, beta: float) -> jnp.ndarray:
+             logvar: jnp.ndarray, beta: float,
+             valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """beta-VAE: pixel MSE + beta * KL (reference: vaeLoss; generationLoss is
     the recon term). KL is computed on the VAE's state slice."""
-    return mse(recon, target) + beta * kl_divergence(mu, logvar)
+    return mse(recon, target, valid) + beta * kl_divergence(mu, logvar, valid)
 
 
 # ---- robotic priors ----------------------------------------------------------
@@ -58,7 +76,8 @@ def robotic_priors_loss(state: jnp.ndarray, next_state: jnp.ndarray,
                         same_action_partners: jnp.ndarray,
                         same_action_mask: jnp.ndarray,
                         dissimilar_partners: jnp.ndarray,
-                        dissimilar_mask: jnp.ndarray):
+                        dissimilar_mask: jnp.ndarray,
+                        valid: jnp.ndarray | None = None):
     """The 4 robotic priors of Jonschkowski & Brock (reference:
     roboticPriorsLoss):
 
@@ -72,8 +91,14 @@ def robotic_priors_loss(state: jnp.ndarray, next_state: jnp.ndarray,
     s = state.astype(jnp.float32)
     sn = next_state.astype(jnp.float32)
     ds = sn - s
+    if valid is not None:
+        # pair terms count a pair only when BOTH endpoints are real rows
+        same_action_mask = same_action_mask * valid * \
+            jnp.take(valid, same_action_partners, axis=0)
+        dissimilar_mask = dissimilar_mask * valid * \
+            jnp.take(valid, dissimilar_partners, axis=0)
 
-    temporal = jnp.mean(jnp.sum(jnp.square(ds), axis=-1))
+    temporal = _batch_mean(jnp.sum(jnp.square(ds), axis=-1), valid)
 
     s_d = jnp.take(s, dissimilar_partners, axis=0)
     causality = _masked_mean(
@@ -100,54 +125,66 @@ def robotic_priors_loss(state: jnp.ndarray, next_state: jnp.ndarray,
 
 
 # ---- dynamics heads ------------------------------------------------------------
-def forward_model_loss(pred_next: jnp.ndarray, next_state: jnp.ndarray) -> jnp.ndarray:
+def forward_model_loss(pred_next: jnp.ndarray, next_state: jnp.ndarray,
+                       valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """MSE on the predicted next state slice (reference: forwardModelLoss)."""
-    return mse(pred_next, next_state)
+    return mse(pred_next, next_state, valid)
 
 
-def _cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+def _cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
+                   valid: jnp.ndarray | None = None) -> jnp.ndarray:
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+    per_sample = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return _batch_mean(per_sample, valid)
 
 
-def inverse_model_loss(logits: jnp.ndarray, actions: jnp.ndarray) -> jnp.ndarray:
+def inverse_model_loss(logits: jnp.ndarray, actions: jnp.ndarray,
+                       valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """CE over discrete actions (reference: inverseModelLoss)."""
-    return _cross_entropy(logits, actions)
+    return _cross_entropy(logits, actions, valid)
 
 
-def reward_model_loss(logits: jnp.ndarray, reward_classes: jnp.ndarray) -> jnp.ndarray:
+def reward_model_loss(logits: jnp.ndarray, reward_classes: jnp.ndarray,
+                      valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """CE over reward classes; class imbalance is handled by the loader's
     balanced sampling (reference: rewardModelLoss + overSampling)."""
-    return _cross_entropy(logits, reward_classes)
+    return _cross_entropy(logits, reward_classes, valid)
 
 
 # ---- metric / prior losses ------------------------------------------------------
 def triplet_loss(anchor: jnp.ndarray, positive: jnp.ndarray,
-                 negative: jnp.ndarray, margin: float = 1.0) -> jnp.ndarray:
+                 negative: jnp.ndarray, margin: float = 1.0,
+                 valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """max(0, d(a,p) - d(a,n) + margin) with euclidean d
     (reference: tripletLoss, multi-view anchor/positive + distant negative)."""
     a = anchor.astype(jnp.float32)
     d_pos = jnp.linalg.norm(a - positive.astype(jnp.float32), axis=-1)
     d_neg = jnp.linalg.norm(a - negative.astype(jnp.float32), axis=-1)
-    return jnp.mean(jnp.maximum(d_pos - d_neg + margin, 0.0))
+    return _batch_mean(jnp.maximum(d_pos - d_neg + margin, 0.0), valid)
 
 
-def reward_prior_loss(state: jnp.ndarray, rewards: jnp.ndarray) -> jnp.ndarray:
+def reward_prior_loss(state: jnp.ndarray, rewards: jnp.ndarray,
+                      valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Encourage state dims to covary with reward: maximize the squared
     batch covariance between each state dim and the (centered) reward.
     [UPSTREAM-MEM L — documented design decision; reference: rewardPriorLoss]
     """
     s = state.astype(jnp.float32)
     r = rewards.astype(jnp.float32)
-    s_c = s - jnp.mean(s, axis=0, keepdims=True)
-    r_c = r - jnp.mean(r)
-    cov = jnp.mean(s_c * r_c[:, None], axis=0)
+    if valid is None:
+        w = jnp.full(r.shape, 1.0 / r.shape[0], jnp.float32)
+    else:
+        w = valid / jnp.maximum(jnp.sum(valid), 1.0)
+    s_c = s - jnp.sum(w[:, None] * s, axis=0, keepdims=True)
+    r_c = r - jnp.sum(w * r)
+    cov = jnp.sum(w[:, None] * s_c * r_c[:, None], axis=0)
     return -jnp.mean(jnp.square(cov))
 
 
 def episode_prior_losses(disc_logits_d: jnp.ndarray,
                          disc_logits_e: jnp.ndarray,
-                         labels: jnp.ndarray):
+                         labels: jnp.ndarray,
+                         pair_valid: jnp.ndarray | None = None):
     """Adversarial episode prior (reference: episodePriorLoss).
 
     The discriminator learns to tell same-episode pairs apart
@@ -157,21 +194,24 @@ def episode_prior_losses(disc_logits_d: jnp.ndarray,
     """
     def bce(logits, y):
         logits = logits.astype(jnp.float32)
-        return jnp.mean(jnp.maximum(logits, 0) - logits * y
-                        + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+        per_pair = (jnp.maximum(logits, 0) - logits * y
+                    + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+        return _batch_mean(per_pair, pair_valid)
     return bce(disc_logits_d, labels), bce(disc_logits_e, 1.0 - labels)
 
 
 def perceptual_similarity_loss(feat_recon: jnp.ndarray,
-                               feat_target: jnp.ndarray) -> jnp.ndarray:
+                               feat_target: jnp.ndarray,
+                               valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """MSE in a frozen pretrained-DAE feature space (DARLA-style;
     reference: perceptualSimilarityLoss with --path-to-dae)."""
-    return mse(feat_recon, feat_target)
+    return mse(feat_recon, feat_target, valid)
 
 
-def supervised_loss(state: jnp.ndarray, gt_states: jnp.ndarray) -> jnp.ndarray:
+def supervised_loss(state: jnp.ndarray, gt_states: jnp.ndarray,
+                    valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """MSE to ground-truth states (reference: models/supervised.py)."""
-    return mse(state, gt_states)
+    return mse(state, gt_states, valid)
 
 
 # ---- parameter regularizers ------------------------------------------------------

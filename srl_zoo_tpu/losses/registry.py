@@ -48,6 +48,11 @@ def compute_total_loss(cfg: SRLConfig,
     weights = cfg.loss_dict
     metrics: Dict[str, jnp.ndarray] = {}
     total = jnp.float32(0.0)
+    # validity mask: 1.0 for real rows, 0.0 for padded rows of a partial
+    # eval batch (loader wraparound=False). Training batches are all-ones.
+    valid = batch.get("valid")
+    if valid is not None:
+        valid = valid.astype(jnp.float32)
 
     def add(name: str, value: jnp.ndarray):
         nonlocal total
@@ -58,44 +63,50 @@ def compute_total_loss(cfg: SRLConfig,
     next_state = outputs.get("next_state")
 
     if "autoencoder" in weights:
-        add("autoencoder", F.autoencoder_loss(outputs["recon"], target_obs))
+        add("autoencoder",
+            F.autoencoder_loss(outputs["recon"], target_obs, valid))
     if "dae" in weights:
-        add("dae", F.dae_loss(outputs["recon"], target_obs))
+        add("dae", F.dae_loss(outputs["recon"], target_obs, valid))
     if "vae" in weights:
         sl = slices["vae"]
         add("vae", F.vae_loss(outputs["recon"], target_obs,
                               _sl(outputs["mu"], sl),
-                              _sl(outputs["logvar"], sl), cfg.beta))
+                              _sl(outputs["logvar"], sl), cfg.beta, valid))
     if "perceptual" in weights:
         add("perceptual", F.perceptual_similarity_loss(
-            extras["feat_recon"], extras["feat_target"]))
+            extras["feat_recon"], extras["feat_target"], valid))
     if "priors" in weights:
         sl = slices["priors"]
         value, terms = F.robotic_priors_loss(
             _sl(state, sl), _sl(next_state, sl),
             batch["same_action_partners"], batch["same_action_mask"],
-            batch["dissimilar_partners"], batch["dissimilar_mask"])
+            batch["dissimilar_partners"], batch["dissimilar_mask"], valid)
         metrics.update(terms)
         add("priors", value)
     if "forward" in weights:
         sl = slices["forward"]
         add("forward", F.forward_model_loss(outputs["forward_pred"],
-                                            _sl(next_state, sl)))
+                                            _sl(next_state, sl), valid))
     if "inverse" in weights:
         add("inverse", F.inverse_model_loss(outputs["inverse_logits"],
-                                            batch["actions"]))
+                                            batch["actions"], valid))
     if "reward" in weights:
         add("reward", F.reward_model_loss(outputs["reward_logits"],
-                                          batch["reward_classes"]))
+                                          batch["reward_classes"], valid))
     if "triplet" in weights:
         sl = slices["triplet"]
         add("triplet", F.triplet_loss(_sl(state, sl),
                                       _sl(outputs["pos_state"], sl),
-                                      _sl(outputs["neg_state"], sl)))
+                                      _sl(outputs["neg_state"], sl),
+                                      valid=valid))
     if "episode-prior" in weights:
+        pair_valid = None
+        if valid is not None:
+            pair_valid = valid * jnp.take(valid, batch["episode_partners"],
+                                          axis=0)
         d_loss, e_loss = F.episode_prior_losses(
             extras["disc_logits_d"], extras["disc_logits_e"],
-            batch["episode_labels"])
+            batch["episode_labels"], pair_valid)
         metrics["episode-prior/discriminator"] = d_loss
         # discriminator trains at weight 1, encoder fooling at the loss weight
         metrics["episode-prior"] = e_loss
@@ -103,11 +114,11 @@ def compute_total_loss(cfg: SRLConfig,
     if "reward-prior" in weights:
         sl = slices["reward-prior"]
         add("reward-prior", F.reward_prior_loss(_sl(state, sl),
-                                                batch["rewards"]))
+                                                batch["rewards"], valid))
     if "supervised" in weights:
         sl = slices["supervised"]
         add("supervised", F.supervised_loss(_sl(state, sl),
-                                            batch["gt_states"]))
+                                            batch["gt_states"], valid))
     if "random" in weights:
         metrics["random"] = jnp.float32(0.0)
 
@@ -121,4 +132,8 @@ def compute_total_loss(cfg: SRLConfig,
         total = total + cfg.l2_reg * l2
 
     metrics["total"] = total
+    # valid-sample count, for exact (weighted) epoch-level metric averaging —
+    # consumed and stripped by training/learner._mean_metrics.
+    metrics["_n_valid"] = (jnp.sum(valid) if valid is not None
+                           else jnp.float32(state.shape[0]))
     return total, metrics

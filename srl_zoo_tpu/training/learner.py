@@ -31,9 +31,15 @@ from srl_zoo_tpu.utils import printGreen, printYellow, set_global_seeds
 
 
 @jax.jit
-def _tree_mean(stacked):
+def _tree_weighted_mean(stacked):
+    """Per-step metric means weighted by valid-sample count — exact
+    per-sample averages even when the final eval batch is padded
+    (the ``_n_valid`` key comes from losses/registry.py)."""
     import jax.numpy as jnp
-    return {k: jnp.mean(v) for k, v in stacked.items()}
+    w = stacked["_n_valid"].astype(jnp.float32)
+    w_total = jnp.maximum(jnp.sum(w), 1.0)
+    return {k: jnp.sum(v.astype(jnp.float32) * w) / w_total
+            for k, v in stacked.items() if k != "_n_valid"}
 
 
 def _stack_batches(batches: list) -> Dict[str, np.ndarray]:
@@ -47,14 +53,18 @@ def _mean_metrics(metric_dicts: list) -> Dict[str, float]:
 
     Per-step jax.device_get would serialize the epoch on host<->device
     latency (measured 5x slowdown through a remote-tunnel backend); instead
-    the per-step dicts stay on device and are stacked+meaned here."""
+    the per-step dicts stay on device and are stacked+meaned here, weighted
+    by each step's valid-sample count."""
     import jax.numpy as jnp
 
     if not metric_dicts:
         return {}
-    stacked = {k: jnp.stack([m[k] for m in metric_dicts])
+    # dicts may mix whole-epoch scan outputs ((n_steps,) arrays) with
+    # per-step scalars (hybrid mode) — flatten each, then concatenate
+    stacked = {k: jnp.concatenate([jnp.atleast_1d(m[k]).reshape(-1)
+                                   for m in metric_dicts])
                for k in metric_dicts[0]}
-    host = jax.device_get(_tree_mean(stacked))
+    host = jax.device_get(_tree_weighted_mean(stacked))
     return {k: float(v) for k, v in host.items()}
 
 
@@ -85,6 +95,7 @@ class SRL4robotics:
         self.state = jax.device_put(self.state, rep)
         self._cache = None
         self._cache_key = None
+        self._cache_hot_n = None  # int => hybrid cache hot-prefix size
         n_params = sum(p.size for p in
                        jax.tree_util.tree_leaves(self.state.params))
         printGreen(f"Model: {cfg.model_type}, {n_params / 1e6:.2f}M params, "
@@ -92,32 +103,95 @@ class SRL4robotics:
                    f"compute dtype {cfg.compute_dtype}")
 
     def _ensure_cache(self, dataset: Dataset):
-        """Build (once) the HBM-resident frame cache when it fits — the
-        TPU-native fast path that reduces per-step host traffic to int32
-        index arrays (see data/device_cache.py)."""
+        """Build (once) the HBM-resident frame cache — the TPU-native fast
+        path that reduces per-step host traffic to int32 index arrays (see
+        data/device_cache.py). Three outcomes, recorded in
+        ``self._cache_hot_n``:
+
+          * full cache  — frames fit the HBM budget; hot_n = None
+          * hybrid      — over-budget dataset: the first hot_n frames stay
+                          resident, the cold tail streams uint8 batches
+          * no cache    — hot_n = None, returns None (pure streaming)
+        """
         from srl_zoo_tpu.data import device_cache as dc
 
         cfg = self.cfg
         if cfg.device_cache == "off":
+            self._cache_hot_n = None
             return None
         key = id(dataset)
         if self._cache_key == key:
             return self._cache
-        needs_view2 = cfg.multi_view
+        # triplet gathers the second view for positives even without
+        # --multi-view (ADVICE r1) — the cache must then carry frames_2
+        needs_view2 = cfg.multi_view or cfg.use_triplet
         hw = (cfg.img_height, cfg.img_width)
-        if dc.fits(dataset, hw, needs_view2):
+        self._cache_hot_n = None
+        if cfg.device_cache != "hybrid" and dc.fits(dataset, hw, needs_view2):
             nbytes = dc.cache_nbytes(dataset)
             printGreen(f"Caching dataset in HBM ({nbytes / 2**20:.0f} MiB, "
                        "replicated across the mesh)")
             self._cache = dc.build_cache(dataset, self.mesh, needs_view2)
+        elif cfg.device_cache == "on":
+            raise ValueError("--device-cache on, but the dataset does "
+                             "not fit / has no frames.npy at the "
+                             "training resolution")
         else:
-            if cfg.device_cache == "on":
-                raise ValueError("--device-cache on, but the dataset does "
-                                 "not fit / has no frames.npy at the "
-                                 "training resolution")
-            self._cache = None
+            hot_n = dc.hybrid_hot_n(dataset, hw, needs_view2)
+            if cfg.device_cache == "hybrid" and hot_n == 0:
+                raise ValueError("--device-cache hybrid, but the dataset has "
+                                 "no frames.npy at the training resolution")
+            if hot_n >= 2 * cfg.batch_size:
+                printGreen(f"Hybrid HBM cache: {hot_n}/{dataset.n_samples} "
+                           "frames resident, cold tail streams per epoch")
+                self._cache = dc.build_cache(dataset, self.mesh, needs_view2,
+                                             hot_n=hot_n)
+                self._cache_hot_n = hot_n
+            else:
+                self._cache = None
         self._cache_key = key
         return self._cache
+
+    def _split_hot_cold(self, indices: np.ndarray, for_encode: bool = False):
+        """Boolean mask of indices servable from the (hybrid) hot store.
+        Training gathers idx+1 for next_obs, so a hot row needs idx+1 < hot_n;
+        encode-only access just needs idx < hot_n."""
+        hot_n = self._cache_hot_n
+        if hot_n is None:
+            return np.ones(len(indices), bool)
+        lim = hot_n if (for_encode or not self.cfg.needs_next_obs) \
+            else hot_n - 1
+        return np.asarray(indices) < lim
+
+    def _make_phase_loaders(self, dataset: Dataset, indices: np.ndarray,
+                            cache, shuffle: bool, wraparound: bool):
+        """[(loader, use_cache)] — one phase in full-cache/streaming modes,
+        hot + cold phases in hybrid mode (each batch is entirely servable
+        from HBM or entirely streamed, keeping the jitted programs
+        static-shaped)."""
+        cfg = self.cfg
+        if len(indices) == 0:
+            return []
+        if cache is None:
+            return [(DataLoader(dataset, indices, cfg, shuffle=shuffle,
+                                seed=cfg.seed, wraparound=wraparound,
+                                emit_images=True,
+                                num_threads=cfg.num_cpu), False)]
+        hot_mask = self._split_hot_cold(indices)
+        phases = []
+        if hot_mask.any():
+            phases.append((DataLoader(dataset, indices[hot_mask], cfg,
+                                      shuffle=shuffle, seed=cfg.seed,
+                                      wraparound=wraparound,
+                                      emit_images=False,
+                                      num_threads=cfg.num_cpu), True))
+        if not hot_mask.all():
+            phases.append((DataLoader(dataset, indices[~hot_mask], cfg,
+                                      shuffle=shuffle, seed=cfg.seed,
+                                      wraparound=wraparound,
+                                      emit_images=True,
+                                      num_threads=cfg.num_cpu), False))
+        return phases
 
     def _load_pretrained_encoder(self, weights_path: str) -> None:
         """Port torchvision ResNet-18 weights into the encoder (reference:
@@ -205,16 +279,14 @@ class SRL4robotics:
             return {"total": 0.0}
 
         cache = self._ensure_cache(dataset)
-        emit_images = cache is None
-        train_loader = DataLoader(dataset, train_idx, cfg, shuffle=True,
-                                  seed=cfg.seed, wraparound=True,
-                                  emit_images=emit_images,
-                                  num_threads=cfg.num_cpu)
-        val_loader = DataLoader(dataset, val_idx, cfg, shuffle=False,
-                                seed=cfg.seed, wraparound=True,
-                                emit_images=emit_images,
-                                num_threads=cfg.num_cpu) \
-            if len(val_idx) else None
+        train_phases = self._make_phase_loaders(dataset, train_idx, cache,
+                                                shuffle=True, wraparound=True)
+        # wraparound=False: the final partial val batch is padded + masked
+        # (not refilled with recycled samples), so val metrics are exact
+        # per-sample means (VERDICT r1 weak #3)
+        val_phases = self._make_phase_loaders(dataset, val_idx, cache,
+                                              shuffle=False, wraparound=False)
+        steps_per_epoch = sum(len(loader) for loader, _ in train_phases)
 
         self.rng, train_rng, eval_rng = jax.random.split(self.rng, 3)
 
@@ -226,7 +298,7 @@ class SRL4robotics:
                 self.state = jax.device_put(restored,
                                             replicated_sharding(self.mesh))
                 steps_done = int(jax.device_get(self.state.step))
-                start_epoch = min(steps_done // max(len(train_loader), 1),
+                start_epoch = min(steps_done // max(steps_per_epoch, 1),
                                   cfg.epochs)
                 printGreen(f"Resumed from step {steps_done} "
                            f"(epoch {start_epoch})")
@@ -243,24 +315,27 @@ class SRL4robotics:
             t_epoch = time.time()
             acc = []
             n_images = 0
-            if cache is not None:
-                # whole-epoch lax.scan: one device program, one host transfer
-                stacked = _stack_batches(list(train_loader))
-                n_steps = len(stacked["valid"])
-                sharded = shard_stacked_batch(stacked, self.mesh)
-                self.state, metrics = self.train_epoch(self.state, sharded,
-                                                       train_rng, cache)
-                step += n_steps
-                n_images += int(np.prod(stacked["valid"].shape))
-                acc.append(metrics)  # (n_steps,) device arrays
-            else:
-                for batch in train_loader:
-                    sharded = shard_batch(batch, self.mesh)
-                    self.state, metrics = self.train_step(
+            for loader, use_cache in train_phases:
+                if use_cache:
+                    # whole-epoch lax.scan: one device program, one transfer
+                    stacked = _stack_batches(list(loader))
+                    n_steps = len(stacked["valid"])
+                    sharded = shard_stacked_batch(stacked, self.mesh)
+                    self.state, metrics = self.train_epoch(
                         self.state, sharded, train_rng, cache)
-                    step += 1
-                    n_images += len(batch["valid"])
-                    acc.append(metrics)  # on device; reduced once per epoch
+                    step += n_steps
+                    n_images += int(np.prod(stacked["valid"].shape))
+                    acc.append(metrics)  # (n_steps,) device arrays
+                else:
+                    # streaming phase (no cache / hybrid cold tail): batches
+                    # carry uint8 pixels, bounded by the host link
+                    for batch in loader:
+                        sharded = shard_batch(batch, self.mesh)
+                        self.state, metrics = self.train_step(
+                            self.state, sharded, train_rng, None)
+                        step += 1
+                        n_images += len(batch["valid"])
+                        acc.append(metrics)  # on device; reduced per epoch
             train_metrics = _mean_metrics(acc)
             dt = time.time() - t_epoch
             ips = n_images / max(dt, 1e-9)
@@ -268,18 +343,19 @@ class SRL4robotics:
                 jax.profiler.stop_trace()
                 profiling = False
 
-            if val_loader is not None:
+            if val_phases:
                 vacc = []
-                if cache is not None:
-                    stacked = _stack_batches(list(val_loader))
-                    sharded = shard_stacked_batch(stacked, self.mesh)
-                    vacc.append(self.eval_epoch(self.state, sharded,
-                                                eval_rng, cache))
-                else:
-                    for batch in val_loader:
-                        sharded = shard_batch(batch, self.mesh)
-                        vacc.append(self.eval_step(self.state, sharded,
-                                                   eval_rng, cache))
+                for loader, use_cache in val_phases:
+                    if use_cache:
+                        stacked = _stack_batches(list(loader))
+                        sharded = shard_stacked_batch(stacked, self.mesh)
+                        vacc.append(self.eval_epoch(self.state, sharded,
+                                                    eval_rng, cache))
+                    else:
+                        for batch in loader:
+                            sharded = shard_batch(batch, self.mesh)
+                            vacc.append(self.eval_step(self.state, sharded,
+                                                       eval_rng, None))
                 val_metrics = _mean_metrics(vacc)
             else:
                 val_metrics = train_metrics
@@ -323,20 +399,34 @@ class SRL4robotics:
         cfg = self.cfg
         if indices is None:
             indices = np.arange(dataset.n_samples, dtype=np.int32)
+        indices = np.asarray(indices, np.int32)
         cache = self._ensure_cache(dataset)
-        loader = DataLoader(dataset, indices, cfg, shuffle=False,
-                            seed=0, wraparound=False,
-                            emit_images=cache is None,
-                            num_threads=cfg.num_cpu)
         rep = replicated_sharding(self.mesh)
-        out = []
-        for batch in loader:
-            key = "indices" if cache is not None else "obs"
-            arg = jax.device_put(batch[key], rep)
-            states = jax.device_get(self.encode_step(self.state, arg, cache))
-            valid = batch["valid"] > 0
-            out.append(states[valid])
-        return np.concatenate(out, axis=0)
+
+        def encode_subset(subset: np.ndarray, subset_cache) -> np.ndarray:
+            loader = DataLoader(dataset, subset, cfg, shuffle=False,
+                                seed=0, wraparound=False,
+                                emit_images=subset_cache is None,
+                                num_threads=cfg.num_cpu)
+            out = []
+            for batch in loader:
+                key = "indices" if subset_cache is not None else "obs"
+                arg = jax.device_put(batch[key], rep)
+                states = jax.device_get(
+                    self.encode_step(self.state, arg, subset_cache))
+                out.append(states[batch["valid"] > 0])
+            return np.concatenate(out, axis=0)
+
+        hot_mask = self._split_hot_cold(indices, for_encode=True)
+        if hot_mask.all():
+            return encode_subset(indices, cache)
+        # hybrid cache: encode hot rows from HBM, stream the cold tail, then
+        # reassemble in the caller's order
+        states = np.empty((len(indices), cfg.state_dim), np.float32)
+        if hot_mask.any():
+            states[hot_mask] = encode_subset(indices[hot_mask], cache)
+        states[~hot_mask] = encode_subset(indices[~hot_mask], None)
+        return states
 
     # alias for the reference method name
     predStatesWithDataLoader = predict_states

@@ -71,3 +71,20 @@ def test_channels_multiview_vs_triplet():
     assert mv.n_channels == 6
     tr = SRLConfig(losses=(("triplet", 1.0),), multi_view=True)
     assert tr.n_channels == 3
+
+
+def test_reconstruction_rejects_image_net_normalize():
+    import pytest
+    with pytest.raises(ValueError, match="normalize_mode='tf'"):
+        SRLConfig(losses=(("autoencoder", 1.0),),
+                  split_dims=(("autoencoder", -1),),
+                  normalize_mode="image_net")
+    # non-reconstruction losses may use image_net normalization
+    SRLConfig(losses=(("priors", 1.0),), split_dims=(("priors", -1),),
+              normalize_mode="image_net")
+
+
+def test_unknown_model_type_rejected():
+    import pytest
+    with pytest.raises(ValueError, match="model type"):
+        SRLConfig(model_type="transformer")

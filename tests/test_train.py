@@ -195,3 +195,85 @@ def test_episode_prior_adversarial_dynamics(synthetic_dataset, tmp_path):
     # neither side collapses: both BCEs stay in a band around chance
     assert 0.5 < d_loss[-1] < 0.9
     assert 0.5 < e_loss[-1] < 0.9
+
+
+def test_val_metrics_exact_per_sample_mean(synthetic_dataset, tmp_path):
+    """Eval on a non-batch-divisible val set must equal the exact per-sample
+    mean: wraparound=False padding is masked out and per-batch metrics are
+    weighted by valid count (VERDICT r1 weak #3 / ADVICE r1)."""
+    from srl_zoo_tpu.data.loader import DataLoader
+    from srl_zoo_tpu.training.learner import _mean_metrics
+    from srl_zoo_tpu.training.state import create_train_state
+    from srl_zoo_tpu.training.train_step import build_steps
+
+    ds = synthetic_dataset
+    cfg = _cfg(ds, tmp_path, batch_size=8)
+    model, state, tx = create_train_state(cfg, jax.random.PRNGKey(0))
+    _, eval_step, _, _, _ = build_steps(cfg, model, tx)
+    rng = jax.random.PRNGKey(1)
+
+    val_idx = ds.training_indices()[:11]  # 8 + partial 3 -> padded batch
+    loader = DataLoader(ds, val_idx, cfg, shuffle=False, wraparound=False,
+                        emit_images=True)
+    batches = list(loader)
+    assert batches[-1]["valid"].sum() == 3  # the padding actually happened
+    got = _mean_metrics([eval_step(state, b, rng, None) for b in batches])
+
+    # ground truth: batch-size-1 passes over exactly the val rows
+    loader1 = DataLoader(ds, val_idx, cfg.replace(batch_size=1),
+                         shuffle=False, wraparound=False, emit_images=True)
+    per_sample = [float(eval_step(state, b, rng, None)["total"])
+                  for b in loader1]
+    assert len(per_sample) == 11
+    np.testing.assert_allclose(got["total"], np.mean(per_sample), rtol=1e-5)
+
+
+def test_cached_triplet_without_multi_view(synthetic_dataset_mv, tmp_path):
+    """--losses triplet without --multi-view must still train in cached mode
+    (the HBM cache needs frames_2 for positives; ADVICE r1 low #2)."""
+    ds = synthetic_dataset_mv
+    cfg = _cfg(ds, tmp_path, losses=(("triplet", 1.0),), epochs=1,
+               multi_view=False, device_cache="on")
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    metrics = learner.learn(ds)
+    assert np.isfinite(metrics["total"])
+
+
+def test_hybrid_cache_trains_and_exports(synthetic_dataset, tmp_path,
+                                         monkeypatch):
+    """Over-budget dataset: hot prefix resident in HBM (cached scan), cold
+    tail streamed — training runs both phases and the state export matches
+    the pure-streaming encode exactly (VERDICT r1 next-round #3)."""
+    from srl_zoo_tpu.data import device_cache as dc
+
+    ds = synthetic_dataset
+    frame_bytes = 32 * 32 * 3
+    monkeypatch.setattr(dc, "DEFAULT_MAX_BYTES", frame_bytes * 40)
+    cfg = _cfg(ds, tmp_path, epochs=2, batch_size=8)
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    metrics = learner.learn(ds)
+    assert learner._cache_hot_n == 40  # hybrid mode actually engaged
+    assert np.isfinite(metrics["total"])
+    hist = np.load(tmp_path / "run" / "loss_history.npz")
+    assert np.all(np.isfinite(hist["train/total"]))
+
+    states_hybrid = learner.predict_states(ds)
+    # identical params, pure-streaming encode must give identical states
+    learner.cfg = cfg.replace(device_cache="off")
+    learner._cache, learner._cache_hot_n, learner._cache_key = None, None, None
+    states_stream = learner.predict_states(ds)
+    np.testing.assert_allclose(states_hybrid, states_stream, atol=1e-5)
+
+
+def test_hybrid_split_respects_next_obs(synthetic_dataset, tmp_path):
+    """Hot rows must have idx+1 inside the hot store when the config needs
+    next_obs, but only idx itself for encode-only access."""
+    cfg = _cfg(synthetic_dataset, tmp_path,
+               losses=(("priors", 1.0),),)
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    learner._cache_hot_n = 10
+    idx = np.arange(13)
+    train_mask = learner._split_hot_cold(idx)
+    enc_mask = learner._split_hot_cold(idx, for_encode=True)
+    assert train_mask.tolist() == [i < 9 for i in range(13)]
+    assert enc_mask.tolist() == [i < 10 for i in range(13)]

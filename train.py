@@ -99,9 +99,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                         choices=["float32", "bfloat16"],
                         help="Compute dtype for conv/matmul (MXU)")
     parser.add_argument("--device-cache", type=str, default="auto",
-                        choices=["auto", "on", "off"],
+                        choices=["auto", "on", "off", "hybrid"],
                         help="Cache the dataset frames in device HBM and "
-                             "ship only index arrays per step")
+                             "ship only index arrays per step; 'auto' falls "
+                             "back to a hybrid hot-prefix cache for "
+                             "over-budget datasets (SRL_ZOO_CACHE_BUDGET_MB)")
     return parser.parse_args(argv)
 
 
