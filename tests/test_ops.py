@@ -94,3 +94,41 @@ def test_gather_normalize_interpret_matches_xla(rng):
     xla_out = gather_normalize(frames, idx, use_pallas=False)
     np.testing.assert_allclose(np.asarray(pallas_out), np.asarray(xla_out),
                                atol=1e-6)
+
+
+def test_max_pool_alternatives_match_flax():
+    """The measured-slower max-pool variants (ops/pooling.py) must stay
+    forward-bit-identical to flax's max_pool (they are kept as verified
+    reference implementations)."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from srl_zoo_tpu.ops.pooling import max_pool_argmax, max_pool_tree
+
+    rng = np.random.RandomState(0)
+    for hw in (23, 24, 33):
+        x = jnp.asarray(rng.randn(2, hw, hw, 4).astype(np.float32))
+        ref = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        assert bool(jnp.all(max_pool_tree(x) == ref))
+        assert bool(jnp.all(max_pool_argmax(x) == ref))
+    # explicit-padding signature (resnet stem)
+    x = jnp.asarray(rng.randn(2, 56, 56, 4).astype(np.float32))
+    ref = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+    got = max_pool_tree(x, padding=((1, 1), (1, 1)))
+    assert bool(jnp.all(got == ref))
+
+
+def test_max_pool_argmax_gradient_valid():
+    """One-hot backward: gradient lands only on window maxima and sums to the
+    upstream gradient's total (each output routes to exactly one input)."""
+    import jax
+    import jax.numpy as jnp
+
+    from srl_zoo_tpu.ops.pooling import max_pool_argmax
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 8, 8, 2).astype(np.float32))
+    y, grad = jax.value_and_grad(lambda x: jnp.sum(max_pool_argmax(x)))(x)
+    n_windows = 4 * 4 * 2
+    np.testing.assert_allclose(float(jnp.sum(grad)), n_windows, rtol=1e-6)
+    assert int(jnp.sum(grad > 0)) <= n_windows
