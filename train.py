@@ -104,6 +104,21 @@ def parse_args(argv=None) -> argparse.Namespace:
                              "ship only index arrays per step; 'auto' falls "
                              "back to a hybrid hot-prefix cache for "
                              "over-budget datasets (SRL_ZOO_CACHE_BUDGET_MB)")
+    # ---- multi-host (DCN) attach: every host runs the same command with its
+    # own --process-id; flags default from the SRL_ZOO_* env so pod launchers
+    # can inject them without templating the command line
+    parser.add_argument("--coordinator-address", type=str,
+                        default=os.environ.get("SRL_ZOO_COORDINATOR", ""),
+                        help="host:port of process 0 for "
+                             "jax.distributed.initialize (multi-host)")
+    parser.add_argument("--num-processes", type=int,
+                        default=int(os.environ.get("SRL_ZOO_NUM_PROCESSES",
+                                                   "1")),
+                        help="Total number of hosts/processes (1 = single)")
+    parser.add_argument("--process-id", type=int,
+                        default=int(os.environ.get("SRL_ZOO_PROCESS_ID",
+                                                   "0")),
+                        help="This host's index in [0, num-processes)")
     return parser.parse_args(argv)
 
 
@@ -121,6 +136,14 @@ def main(argv=None):
     args = parse_args(argv)
     set_global_seeds(args.seed)
 
+    if args.num_processes > 1:
+        # must run before any JAX backend use; after this, jax.devices() is
+        # the GLOBAL device set and the mesh/shardings span all hosts
+        from srl_zoo_tpu.parallel.mesh import initialize_distributed
+        initialize_distributed(coordinator_address=args.coordinator_address,
+                               num_processes=args.num_processes,
+                               process_id=args.process_id)
+
     dataset_name = parseDataFolder(args.data_folder)
     data_folder = args.data_folder if os.path.isdir(args.data_folder) \
         else os.path.join("data", dataset_name)
@@ -133,6 +156,10 @@ def main(argv=None):
 
     log_folder = args.log_folder or default_log_folder(
         dataset_name, args.model_type, list(losses))
+    if args.num_processes > 1 and args.process_id != 0:
+        # only process 0 owns the run's artifacts; the others write their
+        # (identical, all-reduced) logs to a scratch subfolder
+        log_folder = os.path.join(log_folder, f".proc{args.process_id}")
     createFolder(log_folder, f"Log folder {log_folder} already exists")
     args.log_folder = log_folder
     args.data_folder = data_folder
