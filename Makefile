@@ -1,4 +1,4 @@
-.PHONY: test smoke bench native clean demo
+.PHONY: test smoke bench perf-gate native clean demo
 
 native:
 	$(MAKE) -C native
@@ -11,6 +11,9 @@ smoke:
 
 bench:
 	python bench.py
+
+perf-gate:
+	python ci/perf_gate.py
 
 demo:
 	python examples/downstream_rl.py

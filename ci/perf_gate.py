@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Throughput non-regression gate (SURVEY.md §4.5; VERDICT r1 next-round #7).
+
+Compares a bench.py JSON line against the newest BENCH_r*.json recorded by
+the round driver and fails (exit 1) on a >10% headline regression, so a
+silent slowdown cannot ship.
+
+Usage:
+  python ci/perf_gate.py                  # runs bench.py (needs a TPU)
+  python ci/perf_gate.py --current f.json # gate an existing bench line
+  python ci/perf_gate.py --band 0.15      # custom tolerance
+
+On hosts without a TPU the gate SKIPS (exit 0 with a message): the recorded
+baselines are TPU numbers and a CPU run would always "regress".
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def latest_baseline():
+    """(path, parsed json) of the highest-numbered BENCH_r*.json, or None."""
+    paths = glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+    numbered = []
+    for p in paths:
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            numbered.append((int(m.group(1)), p))
+    if not numbered:
+        return None
+    path = max(numbered)[1]
+    with open(path) as f:
+        return path, json.load(f)
+
+
+def extract_value(doc) -> float:
+    """Headline images/sec from a bench line or a driver BENCH_r file (the
+    driver wraps the bench stdout — warnings included — in a 'tail' field)."""
+    if isinstance(doc, dict):
+        if "value" in doc:
+            return float(doc["value"])
+        if "tail" in doc and isinstance(doc["tail"], str):
+            for line in reversed(doc["tail"].strip().splitlines()):
+                try:
+                    inner = json.loads(line)
+                except (json.JSONDecodeError, ValueError):
+                    continue
+                if isinstance(inner, dict) and "value" in inner:
+                    return float(inner["value"])
+    raise ValueError(f"no headline 'value' in {str(doc)[:200]}")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--current", type=str, default="",
+                   help="Path to an existing bench JSON line (default: run "
+                        "bench.py)")
+    p.add_argument("--band", type=float, default=0.10,
+                   help="Allowed fractional regression (default 10%%)")
+    args = p.parse_args(argv)
+
+    base = latest_baseline()
+    if base is None:
+        print("perf_gate: no BENCH_r*.json baseline yet — nothing to gate")
+        return 0
+    base_path, base_doc = base
+    base_val = extract_value(base_doc)
+
+    if args.current:
+        with open(args.current) as f:
+            cur_doc = json.loads(f.read().strip().splitlines()[-1])
+    else:
+        import jax
+        if jax.devices()[0].platform not in ("tpu", "axon"):
+            print(f"perf_gate: SKIP — no TPU here "
+                  f"(platform={jax.devices()[0].platform}); baselines in "
+                  f"{os.path.basename(base_path)} are TPU numbers")
+            return 0
+        out = subprocess.run([sys.executable,
+                              os.path.join(REPO, "bench.py")],
+                             capture_output=True, text=True, timeout=1200)
+        if out.returncode != 0:
+            print(f"perf_gate: bench.py failed:\n{out.stderr[-2000:]}")
+            return 1
+        cur_doc = json.loads(out.stdout.strip().splitlines()[-1])
+    cur_val = extract_value(cur_doc)
+
+    floor = base_val * (1.0 - args.band)
+    verdict = "OK" if cur_val >= floor else "REGRESSION"
+    print(f"perf_gate: current {cur_val:.1f} vs baseline {base_val:.1f} "
+          f"({os.path.basename(base_path)}), floor {floor:.1f} -> {verdict}")
+    return 0 if cur_val >= floor else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -42,3 +42,6 @@ for i, (flags, ds) in enumerate(CONFIGS):
     print(f"smoke config {i + 1} OK")
 print("SMOKE PASSED")
 EOF
+
+# throughput non-regression gate (skips on CPU-only hosts)
+python ci/perf_gate.py

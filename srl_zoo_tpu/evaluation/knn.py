@@ -52,10 +52,11 @@ def knn_mse(learned_states: np.ndarray, ground_truth_states: np.ndarray,
         _, idx = jax.lax.top_k(-d2, k + 1)
         idx_chunks.append(np.asarray(jax.device_get(idx)))
     idx = np.concatenate(idx_chunks, axis=0)
-    neighbor_idx = np.empty((len(queries), k), np.int64)
-    for row, q in enumerate(queries):
-        cand = [j for j in idx[row] if j != q][:k]
-        neighbor_idx[row] = cand
+    # self-exclusion, vectorized (an O(Q*k) Python loop here dominated at
+    # 100k+ queries): drop the self column when present, else the (k+1)-th
+    keep = idx != queries[:, None]
+    order = np.argsort(~keep, axis=1, kind="stable")  # kept cols first,
+    neighbor_idx = np.take_along_axis(idx, order[:, :k], axis=1)  # dist order
 
     gt_q = gt[queries][:, None, :]          # (Q, 1, d)
     gt_n = gt[neighbor_idx]                 # (Q, k, d)
