@@ -186,18 +186,52 @@ def build_steps(cfg: SRLConfig, model: SRLModules, tx,
     def train_epoch(state: TrainState, batches: Dict[str, jnp.ndarray],
                     rng: jax.Array, cache=None):
         """batches: each value stacked to (n_steps, B, ...). Returns
-        (state, per-step metrics stacked to (n_steps,))."""
-        def body(carry, batch):
-            return _train_step_raw(carry, batch, rng, cache)
+        (state, per-step metrics stacked to (n_steps,)).
 
-        return jax.lax.scan(body, state, batches)
+        An optional ``step_valid`` (n_steps,) float marks bucket-padding
+        steps (learner._stack_batches pads the step axis to a size ladder so
+        grids over dataset size reuse ONE compiled program): padded steps are
+        lax.cond-skipped — no optimizer update, no state.step increment, zero
+        metrics with ``_n_valid`` 0 so the weighted epoch mean ignores them.
+        """
+        step_valid = batches.get("step_valid")
+        if step_valid is None:
+            def body(carry, batch):
+                return _train_step_raw(carry, batch, rng, cache)
+            return jax.lax.scan(body, state, batches)
+
+        data = {k: v for k, v in batches.items() if k != "step_valid"}
+        template = jax.tree_util.tree_map(lambda x: x[0], data)
+        m_shape = jax.eval_shape(
+            lambda c, b: _train_step_raw(c, b, rng, cache)[1],
+            state, template)
+
+        def body(carry, xs):
+            batch, sv = xs
+
+            def do(c):
+                return _train_step_raw(c, batch, rng, cache)
+
+            def skip(c):
+                zeros = jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), m_shape)
+                return c, zeros
+
+            return jax.lax.cond(sv > 0, do, skip, carry)
+
+        return jax.lax.scan(body, state, (data, step_valid))
 
     def eval_epoch(state: TrainState, batches: Dict[str, jnp.ndarray],
                    rng: jax.Array, cache=None):
+        """Bucket-padded steps (all-zero ``valid`` rows) contribute
+        ``_n_valid`` 0 and are ignored by the weighted epoch mean — no cond
+        needed (eval never mutates state)."""
+        data = {k: v for k, v in batches.items() if k != "step_valid"}
+
         def body(carry, batch):
             return carry, _eval_step_raw(state, batch, rng, cache)
 
-        _, metrics = jax.lax.scan(body, None, batches)
+        _, metrics = jax.lax.scan(body, None, data)
         return metrics
 
     train_step = jax.jit(train_step, donate_argnums=(0,))
