@@ -155,10 +155,11 @@ class SRLConfig:
     device_cache: str = "auto"
 
     def __post_init__(self):
-        if self.device_cache not in ("auto", "on", "off", "hybrid"):
+        if self.device_cache not in ("auto", "on", "off", "hybrid",
+                                     "sharded"):
             raise ValueError(f"Unknown device_cache mode "
                              f"'{self.device_cache}' (expected auto/on/off/"
-                             "hybrid)")
+                             "hybrid/sharded)")
         if self.model_type not in VALID_MODELS:
             raise ValueError(f"Unknown model type '{self.model_type}'. "
                              f"Valid: {', '.join(VALID_MODELS)}")

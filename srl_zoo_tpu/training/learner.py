@@ -120,7 +120,8 @@ class SRL4robotics:
             dae_feature_fn = self._build_frozen_dae(cfg.path_to_dae)
         (self.train_step, self.eval_step, self.encode_step,
          self.train_epoch, self.eval_epoch) = build_steps(
-            cfg, self.model, self.tx, dae_feature_fn=dae_feature_fn)
+            cfg, self.model, self.tx, dae_feature_fn=dae_feature_fn,
+            mesh=self.mesh)
 
         # replicate the train state across the mesh
         rep = replicated_sharding(self.mesh)
@@ -159,7 +160,25 @@ class SRL4robotics:
         needs_view2 = cfg.multi_view or cfg.use_triplet
         hw = (cfg.img_height, cfg.img_width)
         self._cache_hot_n = None
-        if cfg.device_cache != "hybrid" and dc.fits(dataset, hw, needs_view2):
+        if cfg.device_cache == "sharded":
+            # frame store sharded over the mesh: the HBM budget becomes
+            # mesh-aggregate (d x per-chip), gathers ride ICI
+            from srl_zoo_tpu.ops import sharded_store as ss
+            n_dev = self.mesh.devices.size
+            if not dc.fits(dataset, hw, needs_view2,
+                           max_bytes=dc.DEFAULT_MAX_BYTES * n_dev):
+                raise ValueError(
+                    "--device-cache sharded, but the dataset exceeds even "
+                    f"the {n_dev}-device aggregate HBM budget / has no "
+                    "frames.npy at the training resolution")
+            nbytes = dc.cache_nbytes(dataset)
+            printGreen(f"Sharding dataset over {n_dev} devices "
+                       f"({nbytes / 2**20:.0f} MiB total, "
+                       f"{nbytes / n_dev / 2**20:.0f} MiB/chip)")
+            self._cache = ss.build_sharded_cache(dataset, self.mesh,
+                                                 needs_view2)
+        elif cfg.device_cache != "hybrid" and dc.fits(dataset, hw,
+                                                      needs_view2):
             nbytes = dc.cache_nbytes(dataset)
             printGreen(f"Caching dataset in HBM ({nbytes / 2**20:.0f} MiB, "
                        "replicated across the mesh)")

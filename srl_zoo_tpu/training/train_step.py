@@ -37,19 +37,33 @@ def _slice_cols(x: jnp.ndarray, sl) -> jnp.ndarray:
 
 
 def build_steps(cfg: SRLConfig, model: SRLModules, tx,
-                dae_feature_fn: Optional[Callable] = None):
+                dae_feature_fn: Optional[Callable] = None, mesh=None):
     """Returns (train_step, eval_step, encode_step, train_epoch, eval_epoch),
     all jit-compiled. The *_epoch variants scan a whole epoch of stacked
     batches in one device program (cached mode).
 
     ``dae_feature_fn(normalized_images) -> features`` is the frozen
     pretrained-DAE encoder for the perceptual-similarity loss.
+    ``mesh`` is required for ``device_cache='sharded'`` (the frame store is
+    sharded over the mesh and gathers ride ICI; ops/sharded_store.py).
     """
     if "perceptual" in cfg.loss_dict and dae_feature_fn is None:
         raise ValueError("perceptual loss requires a frozen DAE "
                          "(--path-to-dae)")
 
     norm = lambda u8: normalize_images(u8, cfg.normalize_mode)
+
+    if cfg.device_cache == "sharded":
+        if mesh is None:
+            raise ValueError("device_cache='sharded' needs the mesh at "
+                             "build_steps time")
+        from srl_zoo_tpu.ops.sharded_store import gather_sharded
+
+        def take_rows(frames, i):
+            return gather_sharded(frames, i, mesh)
+    else:
+        def take_rows(frames, i):
+            return jnp.take(frames, i, axis=0)
 
     def _raw_images(batch: Dict[str, jnp.ndarray], cache):
         """uint8 (obs, next_obs, pos, neg) — from the batch (streaming mode)
@@ -65,18 +79,18 @@ def build_steps(cfg: SRLConfig, model: SRLModules, tx,
         idx = batch["indices"]
 
         def grab(i):
-            o = jnp.take(frames, i, axis=0)
+            o = take_rows(frames, i)
             if cfg.multi_view and not cfg.use_triplet:
                 o = jnp.concatenate(
-                    [o, jnp.take(cache["frames_2"], i, axis=0)], axis=-1)
+                    [o, take_rows(cache["frames_2"], i)], axis=-1)
             return o
 
         obs = grab(idx)
         next_obs = grab(jnp.minimum(idx + 1, n - 1)) if cfg.needs_next_obs \
             else None
-        pos = jnp.take(cache["frames_2"], idx, axis=0) if cfg.use_triplet \
+        pos = take_rows(cache["frames_2"], idx) if cfg.use_triplet \
             else None
-        neg = jnp.take(frames, batch["neg_indices"], axis=0) \
+        neg = take_rows(frames, batch["neg_indices"]) \
             if cfg.use_triplet else None
         return obs, next_obs, pos, neg
 
@@ -167,11 +181,10 @@ def build_steps(cfg: SRLConfig, model: SRLModules, tx,
         if cache is None:
             obs_u8 = obs_or_idx
         else:
-            obs_u8 = jnp.take(cache["frames"], obs_or_idx, axis=0)
+            obs_u8 = take_rows(cache["frames"], obs_or_idx)
             if cfg.multi_view and not cfg.use_triplet:
                 obs_u8 = jnp.concatenate(
-                    [obs_u8,
-                     jnp.take(cache["frames_2"], obs_or_idx, axis=0)],
+                    [obs_u8, take_rows(cache["frames_2"], obs_or_idx)],
                     axis=-1)
         return model.apply(variables, norm(obs_u8), train=False,
                            method=SRLModules.encode)

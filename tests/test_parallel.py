@@ -129,3 +129,48 @@ def test_epoch_scan_on_mesh(rng):
     assert int(jax.device_get(state.step)) == n_steps
     ev = eval_epoch(state, sharded, jax.random.PRNGKey(2), cache)
     assert np.all(np.isfinite(np.asarray(jax.device_get(ev["total"]))))
+
+
+def test_sharded_store_gather_matches_take(rng):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from srl_zoo_tpu.ops.sharded_store import gather_sharded, shard_frames
+
+    mesh = make_mesh()
+    frames = rng.randint(0, 255, (37, 8, 8, 3)).astype(np.uint8)
+    fs = shard_frames(frames, mesh)
+    assert fs.shape[0] == 40  # padded to a multiple of 8
+    idx = rng.randint(0, 37, 16).astype(np.int32)
+    idx_dev = jax.device_put(idx, NamedSharding(mesh, P("data")))
+    out = jax.jit(lambda f, i: gather_sharded(f, i, mesh))(fs, idx_dev)
+    np.testing.assert_array_equal(np.asarray(jax.device_get(out)),
+                                  frames[idx])
+
+
+def test_sharded_cache_training_matches_replicated(synthetic_dataset,
+                                                   tmp_path):
+    """device_cache='sharded' (store sharded over the 8-device mesh,
+    reduce-scatter gathers) must train bit-identically to the replicated
+    cache (ops/sharded_store.py)."""
+    from srl_zoo_tpu.config import SRLConfig
+    from srl_zoo_tpu.training.learner import SRL4robotics
+
+    ds = synthetic_dataset
+    hists = {}
+    for mode in ("on", "sharded"):
+        cfg = SRLConfig(state_dim=4, img_height=32, img_width=32,
+                        batch_size=16, epochs=2, learning_rate=3e-3,
+                        losses=(("autoencoder", 1.0), ("inverse", 1.0)),
+                        split_dims=(("autoencoder", -1), ("inverse", -1)),
+                        n_actions=ds.n_actions,
+                        n_reward_classes=ds.n_reward_classes,
+                        device_cache=mode,
+                        log_folder=str(tmp_path / mode))
+        learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+        learner.learn(ds)
+        hists[mode] = np.load(tmp_path / mode / "loss_history.npz")
+
+    np.testing.assert_allclose(hists["on"]["train/total"],
+                               hists["sharded"]["train/total"], rtol=1e-6)
+    np.testing.assert_allclose(hists["on"]["val/total"],
+                               hists["sharded"]["val/total"], rtol=1e-6)

@@ -99,7 +99,7 @@ def parse_args(argv=None) -> argparse.Namespace:
                         choices=["float32", "bfloat16"],
                         help="Compute dtype for conv/matmul (MXU)")
     parser.add_argument("--device-cache", type=str, default="auto",
-                        choices=["auto", "on", "off", "hybrid"],
+                        choices=["auto", "on", "off", "hybrid", "sharded"],
                         help="Cache the dataset frames in device HBM and "
                              "ship only index arrays per step; 'auto' falls "
                              "back to a hybrid hot-prefix cache for "
