@@ -131,3 +131,34 @@ def test_pretrained_weights_cli_flow(synthetic_dataset, tmp_path):
     np.testing.assert_allclose(ported, expected, rtol=1e-6)
     metrics = learner.learn(ds)
     assert np.isfinite(metrics["total"])
+
+
+def test_pretrained_weights_through_train_cli(tmp_path, monkeypatch):
+    """The FULL reference CLI path: train.py --model-type resnet
+    --pretrained-weights <npz> end to end (config 5's pretrained encoder,
+    VERDICT r1 next-round #9)."""
+    import os
+
+    from srl_zoo_tpu.data.synthetic import generate_dataset
+    from train import main as train_main
+
+    tm = TorchResNet18()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    wpath = tmp_path / "resnet18.npz"
+    np.savez(wpath, **sd)
+
+    data = str(tmp_path / "synth")
+    generate_dataset(data, n_episodes=3, episode_len=20, img_size=32, seed=0)
+    log = str(tmp_path / "run")
+    monkeypatch.chdir(tmp_path)  # train.py resolves relative data folders
+    train_main(["--data-folder", data, "--losses", "inverse",
+                "--model-type", "resnet", "--state-dim", "4", "-bs", "16",
+                "--epochs", "1", "--pretrained-weights", str(wpath),
+                "--log-folder", log, "--no-display-plots"])
+    out = np.load(os.path.join(log, "states_rewards.npz"))
+    assert out["states"].shape[1] == 4
+    assert np.all(np.isfinite(out["states"]))
+    # the run's config records the weights provenance for reproducibility
+    import json
+    exp = json.load(open(os.path.join(log, "exp_config.json")))
+    assert exp["pretrained-weights"].endswith("resnet18.npz")
