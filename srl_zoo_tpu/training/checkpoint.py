@@ -1,21 +1,31 @@
-"""Checkpointing: model export + full-state resume.
+"""Checkpointing: model export + full-state resume, async by default.
 
 Reference: models/learner.py saves the best-validation model as
 ``srl_model.pth`` (params only, no optimizer state, no mid-run resume).
 The rebuild keeps that export contract (``srl_model.msgpack`` +
 ``exp_config.json``) and adds what the reference lacks (SURVEY.md §5):
 full TrainState (params + batch_stats + optimizer + step) checkpoints for
-restart-resume, via orbax when available, flax msgpack otherwise.
+restart-resume.
+
+``AsyncCheckpointer`` overlaps checkpoint IO with training: ``save_*`` takes
+an on-device copy (cheap HBM copy, async dispatch — the live state can then
+be donated by the next train step without invalidating the snapshot) and a
+single worker thread performs the device->host transfer + serialization +
+atomic write. Through a slow host link this hides multi-second transfers
+behind the next epoch's compute. Latest-wins: a newer snapshot replaces a
+queued one of the same kind.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import threading
 from typing import Optional, Tuple
 
 import flax.serialization
 import jax
+import jax.numpy as jnp
 
 from srl_zoo_tpu.config import SRLConfig
 from srl_zoo_tpu.training.state import TrainState, create_train_state
@@ -73,3 +83,75 @@ def restore_train_state(log_folder: str, template: TrainState
         return None
     with open(path, "rb") as f:
         return flax.serialization.from_bytes(template, f.read())
+
+
+# ---- async writer ----------------------------------------------------------------
+def _device_copy(tree):
+    """On-device copy of a pytree: new buffers, so later donation of the
+    originals cannot invalidate the snapshot. Dispatch is async — this
+    returns immediately."""
+    return jax.tree_util.tree_map(jnp.copy, tree)
+
+
+class AsyncCheckpointer:
+    """Background writer for resume checkpoints and best-model exports.
+
+    save_state/save_model snapshot on device and return immediately; one
+    worker thread drains a latest-wins slot per kind. ``close()`` flushes
+    pending writes and re-raises any writer error.
+    """
+
+    def __init__(self, log_folder: str):
+        self.log_folder = log_folder
+        self._lock = threading.Lock()
+        self._event = threading.Event()
+        self._jobs: dict = {}
+        self._stop = False
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="srl-ckpt-writer")
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            self._event.wait()
+            with self._lock:
+                jobs, self._jobs = self._jobs, {}
+                stop = self._stop
+                self._event.clear()
+            for kind, payload in jobs.items():
+                try:
+                    if kind == "state":
+                        save_train_state(self.log_folder,
+                                         jax.device_get(payload))
+                    elif kind == "model":
+                        save_srl_model(self.log_folder, *payload)
+                except BaseException as e:  # surfaced in close()
+                    self._err = e
+            if stop:
+                with self._lock:
+                    if not self._jobs:
+                        return
+                self._event.set()  # drain late arrivals before exiting
+
+    def _submit(self, kind: str, payload) -> None:
+        if self._err is not None:
+            raise RuntimeError("checkpoint writer failed") from self._err
+        with self._lock:
+            self._jobs[kind] = payload
+        self._event.set()
+
+    def save_state(self, state: TrainState) -> None:
+        self._submit("state", _device_copy(state))
+
+    def save_model(self, params, batch_stats) -> None:
+        self._submit("model", (_device_copy(params),
+                               _device_copy(batch_stats)))
+
+    def close(self) -> None:
+        with self._lock:
+            self._stop = True
+        self._event.set()
+        self._thread.join(timeout=600)
+        if self._err is not None:
+            raise RuntimeError("checkpoint writer failed") from self._err

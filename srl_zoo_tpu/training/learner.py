@@ -319,8 +319,11 @@ class SRL4robotics:
 
         logger = MetricsLogger(self.log_folder)
         best_val = float("inf")
-        best_params = (jax.device_get(self.state.params),
-                       jax.device_get(self.state.batch_stats))
+        # best weights tracked as ON-DEVICE copies: no per-improvement
+        # device->host transfer on the critical path (the async checkpoint
+        # writer does the transfer in the background)
+        best_params = (ckpt._device_copy(self.state.params),
+                       ckpt._device_copy(self.state.batch_stats))
 
         if cfg.only_random_features:
             printYellow("random features only — skipping training")
@@ -340,6 +343,7 @@ class SRL4robotics:
         steps_per_epoch = sum(len(loader) for loader, _ in train_phases)
 
         self.rng, train_rng, eval_rng = jax.random.split(self.rng, 3)
+        ckpt_writer = ckpt.AsyncCheckpointer(self.log_folder)
 
         start_epoch = 0
         if resume:
@@ -421,21 +425,21 @@ class SRL4robotics:
 
             if val_metrics["total"] < best_val:
                 best_val = val_metrics["total"]
-                best_params = (jax.device_get(self.state.params),
-                               jax.device_get(self.state.batch_stats))
-                ckpt.save_srl_model(self.log_folder, *best_params)
+                best_params = (ckpt._device_copy(self.state.params),
+                               ckpt._device_copy(self.state.batch_stats))
+                ckpt_writer.save_model(*best_params)
             if (epoch + 1) % max(checkpoint_every, 1) == 0 \
                     or epoch == cfg.epochs - 1:
-                ckpt.save_train_state(self.log_folder, self.state)
+                ckpt_writer.save_state(self.state)
             if epoch_callback is not None:
                 epoch_callback(self, epoch, train_metrics, val_metrics)
 
-        # keep the best-val weights for export (reference behavior)
-        rep = replicated_sharding(self.mesh)
-        self.state = self.state.replace(
-            params=jax.device_put(best_params[0], rep),
-            batch_stats=jax.device_put(best_params[1], rep))
-        ckpt.save_srl_model(self.log_folder, *best_params)
+        # keep the best-val weights for export (reference behavior); the
+        # copies live on device already — no host round trip
+        self.state = self.state.replace(params=best_params[0],
+                                        batch_stats=best_params[1])
+        ckpt_writer.save_model(*best_params)  # covers the resumed-done case
+        ckpt_writer.close()  # flush pending writes (incl. the best model)
         logger.save_history()
         logger.close()
         printGreen(f"Best validation loss: {best_val:.4f}")

@@ -328,3 +328,40 @@ def test_padded_epoch_scan_identical_to_exact(synthetic_dataset, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_allclose(_mean_metrics([m_exact])["total"],
                                _mean_metrics([m_pad])["total"], rtol=1e-6)
+
+
+def test_async_checkpointer_snapshot_isolated(tmp_path):
+    """A snapshot must survive later donation/mutation of the live state:
+    the writer copies on device before the next step can donate buffers."""
+    import time
+
+    from srl_zoo_tpu.training import checkpoint as ckpt
+
+    writer = ckpt.AsyncCheckpointer(str(tmp_path))
+    params = {"w": jax.numpy.arange(4.0)}
+    stats = {"m": jax.numpy.zeros(2)}
+    writer.save_model(params, stats)
+    # mutate/delete the originals immediately
+    params["w"].delete()
+    writer.close()
+    path = tmp_path / "srl_model.msgpack"
+    assert path.exists()
+    import flax.serialization
+    payload = flax.serialization.from_bytes(
+        {"params": {"w": np.zeros(4)}, "batch_stats": {"m": np.zeros(2)}},
+        path.read_bytes())
+    np.testing.assert_allclose(payload["params"]["w"], np.arange(4.0))
+
+
+def test_async_checkpointer_latest_wins(tmp_path):
+    from srl_zoo_tpu.training import checkpoint as ckpt
+
+    writer = ckpt.AsyncCheckpointer(str(tmp_path))
+    for i in range(5):
+        writer.save_model({"w": jax.numpy.full(3, float(i))}, {})
+    writer.close()
+    import flax.serialization
+    payload = flax.serialization.from_bytes(
+        {"params": {"w": np.zeros(3)}, "batch_stats": {}},
+        (tmp_path / "srl_model.msgpack").read_bytes())
+    np.testing.assert_allclose(payload["params"]["w"], 4.0)  # newest
