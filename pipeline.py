@@ -62,6 +62,8 @@ def run_experiment(data_folder: str, losses, state_dim: int, model_type: str,
         flags.append("--multi-view")
     if args.dtype != "float32":
         flags += ["--dtype", args.dtype]
+    if args.device_cache != "auto":
+        flags += ["--device-cache", args.device_cache]
     log_folder = train_cli.main(flags)
 
     knn = knn_images.main(["--log-folder", log_folder,
@@ -118,6 +120,8 @@ def main(argv=None):
     p.add_argument("--training-set-size", type=int, default=-1)
     p.add_argument("--multi-view", action="store_true")
     p.add_argument("--img-size", type=int, default=224)
+    p.add_argument("--device-cache", type=str, default="auto",
+                   choices=["auto", "on", "off", "hybrid", "sharded"])
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--no-grids", action="store_true",

@@ -201,3 +201,28 @@ def test_balanced_sampling_and_l1_cli(ds_folder, tmp_path, monkeypatch):
     hist = np.load(os.path.join(log, "loss_history.npz"))
     assert "train/l1_reg" in hist
     assert np.isfinite(hist["train/total"]).all()
+
+
+def test_plot_every_live_view(tmp_path, monkeypatch):
+    """--plot-every writes per-epoch plots plus the live view artifacts
+    (latest.png + auto-refreshing live.html — the headless equivalent of the
+    reference's interactive matplotlib mode)."""
+    import os
+
+    from srl_zoo_tpu.data.synthetic import generate_dataset
+    from train import main as train_main
+
+    data = str(tmp_path / "synth")
+    generate_dataset(data, n_episodes=3, episode_len=20, img_size=32, seed=0)
+    log = str(tmp_path / "run")
+    monkeypatch.chdir(tmp_path)
+    train_main(["--data-folder", data, "--losses", "autoencoder",
+                "--state-dim", "4", "-bs", "16", "--epochs", "2",
+                "--plot-every", "1", "--log-folder", log,
+                "--no-display-plots"])
+    plots = os.path.join(log, "plots")
+    assert os.path.exists(os.path.join(plots, "epoch_1.png"))
+    assert os.path.exists(os.path.join(plots, "epoch_2.png"))
+    assert os.path.exists(os.path.join(plots, "latest.png"))
+    html = open(os.path.join(plots, "live.html")).read()
+    assert "latest.png" in html and "refresh" in html

@@ -184,14 +184,26 @@ def main(argv=None):
                              max(dataset.n_samples // 2000, 1),
                              dtype=np.int32)
 
+        plots_dir = os.path.join(log_folder, "plots")
+        os.makedirs(plots_dir, exist_ok=True)
+        with open(os.path.join(plots_dir, "live.html"), "w") as f:
+            # the live representation view (reference: interactive matplotlib
+            # during training) — headless-compatible: open this page in any
+            # browser and it tracks the newest epoch plot
+            f.write('<!doctype html><title>SRL live states</title>\n'
+                    '<meta http-equiv="refresh" content="2">\n'
+                    '<body style="background:#111;text-align:center">\n'
+                    '<img src="latest.png" style="max-width:100%">\n')
+
         def epoch_callback(lrn, epoch, train_m, val_m):
             if (epoch + 1) % args.plot_every:
                 return
             s = lrn.predict_states(dataset, plot_idx)
-            plot_representation(
-                s, dataset.rewards[plot_idx],
-                os.path.join(log_folder, "plots", f"epoch_{epoch + 1}.png"),
-                title=f"States after epoch {epoch + 1}")
+            path = os.path.join(plots_dir, f"epoch_{epoch + 1}.png")
+            plot_representation(s, dataset.rewards[plot_idx], path,
+                                title=f"States after epoch {epoch + 1}")
+            import shutil
+            shutil.copyfile(path, os.path.join(plots_dir, "latest.png"))
 
     learner.learn(dataset, epoch_callback=epoch_callback,
                   resume=args.resume, profile=args.profile,
