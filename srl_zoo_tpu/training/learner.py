@@ -109,6 +109,12 @@ class SRL4robotics:
         self.log_folder = log_folder or cfg.log_folder or "logs/default"
         set_global_seeds(cfg.seed)
         self.mesh = mesh if mesh is not None else make_mesh()
+        n_dev = self.mesh.devices.size
+        if cfg.device_cache == "sharded" and cfg.batch_size % n_dev:
+            raise ValueError(
+                f"--device-cache sharded needs --batch-size divisible by the "
+                f"device count (got {cfg.batch_size} on {n_dev} devices): "
+                "the reduce-scatter gather hands each device B/d rows")
         self.rng = jax.random.PRNGKey(cfg.seed)
         self.rng, init_rng = jax.random.split(self.rng)
         self.model, self.state, self.tx = create_train_state(cfg, init_rng)

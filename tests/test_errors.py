@@ -72,3 +72,20 @@ def test_supervised_dim_mismatch_is_loud(synthetic_dataset, tmp_path):
     learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
     with pytest.raises(ValueError, match="supervised"):
         learner.learn(synthetic_dataset)
+
+
+def test_sharded_cache_requires_divisible_batch(synthetic_dataset, tmp_path):
+    import pytest
+
+    from srl_zoo_tpu.config import SRLConfig
+    from srl_zoo_tpu.training.learner import SRL4robotics
+
+    ds = synthetic_dataset
+    cfg = SRLConfig(state_dim=4, img_height=32, img_width=32,
+                    batch_size=12,  # not divisible by the 8-device mesh
+                    losses=(("autoencoder", 1.0),),
+                    split_dims=(("autoencoder", -1),),
+                    n_actions=ds.n_actions, device_cache="sharded",
+                    log_folder=str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="divisible by the"):
+        SRL4robotics(cfg, log_folder=cfg.log_folder)
