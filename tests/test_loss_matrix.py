@@ -112,3 +112,39 @@ def test_dae_gaussian_noise_variant(synthetic_dataset, tmp_path):
     learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
     metrics = learner.learn(ds)
     assert np.isfinite(metrics["total"])
+
+
+def test_triplet_trains_sharded(synthetic_dataset_mv, tmp_path):
+    """Sharded store covers BOTH view stores and the triplet negative
+    gathers (arbitrary global indices through reduce-scatter)."""
+    ds = synthetic_dataset_mv
+    cfg = SRLConfig(state_dim=4, img_height=32, img_width=32, batch_size=16,
+                    epochs=1, losses=(("triplet", 1.0),),
+                    split_dims=(("triplet", -1),), multi_view=True,
+                    n_actions=ds.n_actions, device_cache="sharded",
+                    log_folder=str(tmp_path / "tri_sh"))
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    metrics = learner.learn(ds)
+    assert np.isfinite(metrics["total"])
+
+
+def test_priors_trains_hybrid(synthetic_dataset, tmp_path, monkeypatch):
+    """Hybrid mode with pair-based losses: hot batches pair within the hot
+    partition, cold batches stream with images — both finite and exported."""
+    from srl_zoo_tpu.data import device_cache as dc
+
+    ds = synthetic_dataset
+    monkeypatch.setattr(dc, "DEFAULT_MAX_BYTES", 32 * 32 * 3 * 48)
+    cfg = SRLConfig(state_dim=4, img_height=32, img_width=32, batch_size=8,
+                    epochs=2, losses=(("priors", 1.0), ("reward", 1.0)),
+                    split_dims=(("priors", -1), ("reward", -1)),
+                    n_actions=ds.n_actions,
+                    n_reward_classes=ds.n_reward_classes,
+                    device_cache="auto",
+                    log_folder=str(tmp_path / "pri_hy"))
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    metrics = learner.learn(ds)
+    assert learner._cache_hot_n == 48
+    assert np.isfinite(metrics["total"])
+    states = learner.predict_states(ds)
+    assert np.all(np.isfinite(states))
