@@ -25,7 +25,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_train(data_folder, log_folder, n_devices, extra, timeout=600):
+def _run_train(data_folder, log_folder, n_devices, extra, timeout=600,
+               cache="off"):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
@@ -33,7 +34,7 @@ def _run_train(data_folder, log_folder, n_devices, extra, timeout=600):
                           f"={n_devices}")
     cmd = [sys.executable, "train.py", "--data-folder", data_folder,
            "--losses", "autoencoder", "--state-dim", "4", "-bs", "16",
-           "--epochs", "1", "--seed", "3", "--device-cache", "off",
+           "--epochs", "1", "--seed", "3", "--device-cache", cache,
            "--no-display-plots", "--log-folder", log_folder] + extra
     return subprocess.Popen(cmd, cwd=REPO, env=env, text=True,
                             stdout=subprocess.PIPE,
@@ -82,3 +83,30 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert os.path.exists(os.path.join(log, ".proc1"))
     states = np.load(os.path.join(log, "states_rewards.npz"))["states"]
     assert states.shape[1] == 4 and np.all(np.isfinite(states))
+
+
+@pytest.mark.slow
+def test_two_process_cached_scan(tmp_path):
+    """The production pod path: HBM cache + whole-epoch scan across
+    processes (stacked batches device_put with P(None, 'data') sharding
+    spanning both hosts; cache replicated cross-process)."""
+    from srl_zoo_tpu.data.synthetic import generate_dataset
+    data = str(tmp_path / "synth")
+    generate_dataset(data, n_episodes=4, episode_len=24, img_size=32, seed=0)
+
+    port = _free_port()
+    dist = ["--coordinator-address", f"127.0.0.1:{port}",
+            "--num-processes", "2"]
+    log = str(tmp_path / "multi")
+    p0, to = _run_train(data, log, 4, dist + ["--process-id", "0"],
+                        cache="on")
+    p1, _ = _run_train(data, log, 4, dist + ["--process-id", "1"],
+                       cache="on")
+    out0, _ = p0.communicate(timeout=to)
+    out1, _ = p1.communicate(timeout=to)
+    assert p0.returncode == 0, out0[-2000:]
+    assert p1.returncode == 0, out1[-2000:]
+    assert "Caching dataset in HBM" in out0
+    assert _best_val(out0) == _best_val(out1)
+    states = np.load(os.path.join(log, "states_rewards.npz"))["states"]
+    assert np.all(np.isfinite(states))
