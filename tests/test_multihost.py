@@ -110,3 +110,55 @@ def test_two_process_cached_scan(tmp_path):
     assert _best_val(out0) == _best_val(out1)
     states = np.load(os.path.join(log, "states_rewards.npz"))["states"]
     assert np.all(np.isfinite(states))
+
+
+_SHARDED_WORKER = """
+import os, sys
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS","") + \
+    " --xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, os.getcwd())  # the repo (the script itself lives in tmp)
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1]); port = sys.argv[2]
+jax.distributed.initialize(f"127.0.0.1:{port}", 2, pid)
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from srl_zoo_tpu.parallel.mesh import make_mesh
+from srl_zoo_tpu.ops.sharded_store import shard_frames, gather_sharded
+mesh = make_mesh()
+rng = np.random.RandomState(0)
+frames = rng.randint(0, 255, (64, 8, 8, 3), np.uint8)
+fs = shard_frames(frames, mesh)
+idx = rng.randint(0, 64, 16).astype(np.int32)
+idx_dev = jax.device_put(idx, NamedSharding(mesh, P("data")))
+out = jax.jit(lambda f, i: gather_sharded(f, i, mesh))(fs, idx_dev)
+expected = frames[idx]
+for shard in out.addressable_shards:
+    lo = shard.index[0].start or 0
+    rows = np.asarray(shard.data)
+    assert np.array_equal(rows, expected[lo:lo + rows.shape[0]]), pid
+print(f"[{pid}] sharded-store gather across processes OK")
+"""
+
+
+@pytest.mark.slow
+def test_sharded_store_gather_across_processes(tmp_path):
+    """The reduce-scatter frame gather works when the mesh spans processes
+    (store sharded over 2 hosts x 4 devices; each host verifies its
+    addressable output shards)."""
+    script = tmp_path / "worker.py"
+    script.write_text(_SHARDED_WORKER)
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen([sys.executable, str(script), str(i),
+                               str(port)],
+                              cwd=REPO, env=env, text=True,
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for i in range(2)]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+        assert "gather across processes OK" in out
