@@ -31,6 +31,15 @@ def _batch_mean(per_sample: jnp.ndarray,
     return _masked_mean(per_sample, valid)
 
 
+def _safe_norm(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """L2 norm with a finite gradient at 0. jnp.linalg.norm's gradient is
+    x/||x|| = NaN at the origin, and exact zero deltas DO occur: a
+    wall-blocked agent yields identical consecutive frames, so any
+    BatchNorm-free encoder (mlp/linear) produces next_state == state
+    bit-exactly and one such row NaNs the whole gradient."""
+    return jnp.sqrt(jnp.sum(jnp.square(x), axis=axis) + 1e-12)
+
+
 def mse(a: jnp.ndarray, b: jnp.ndarray,
         valid: jnp.ndarray | None = None) -> jnp.ndarray:
     sq = jnp.square(a.astype(jnp.float32) - b.astype(jnp.float32))
@@ -106,8 +115,8 @@ def robotic_priors_loss(state: jnp.ndarray, next_state: jnp.ndarray,
 
     s_p = jnp.take(s, same_action_partners, axis=0)
     ds_p = jnp.take(ds, same_action_partners, axis=0)
-    norm_ds = jnp.linalg.norm(ds, axis=-1)
-    norm_ds_p = jnp.linalg.norm(ds_p, axis=-1)
+    norm_ds = _safe_norm(ds)
+    norm_ds_p = _safe_norm(ds_p)
     proportionality = _masked_mean(
         jnp.square(norm_ds - norm_ds_p), same_action_mask)
 
@@ -158,8 +167,8 @@ def triplet_loss(anchor: jnp.ndarray, positive: jnp.ndarray,
     """max(0, d(a,p) - d(a,n) + margin) with euclidean d
     (reference: tripletLoss, multi-view anchor/positive + distant negative)."""
     a = anchor.astype(jnp.float32)
-    d_pos = jnp.linalg.norm(a - positive.astype(jnp.float32), axis=-1)
-    d_neg = jnp.linalg.norm(a - negative.astype(jnp.float32), axis=-1)
+    d_pos = _safe_norm(a - positive.astype(jnp.float32))
+    d_neg = _safe_norm(a - negative.astype(jnp.float32))
     return _batch_mean(jnp.maximum(d_pos - d_neg + margin, 0.0), valid)
 
 

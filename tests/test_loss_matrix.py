@@ -148,3 +148,55 @@ def test_priors_trains_hybrid(synthetic_dataset, tmp_path, monkeypatch):
     assert np.isfinite(metrics["total"])
     states = learner.predict_states(ds)
     assert np.all(np.isfinite(states))
+
+
+@pytest.mark.parametrize("model_type", ["mlp", "linear"])
+def test_nonconv_encoders_train_end_to_end(model_type, synthetic_dataset,
+                                           tmp_path):
+    """The reference's DenseNetwork/LinearNetwork equivalents through the
+    full learner (reference: models/models.py)."""
+    ds = synthetic_dataset
+    cfg = SRLConfig(state_dim=4, img_height=32, img_width=32, batch_size=16,
+                    epochs=1, model_type=model_type,
+                    losses=(("priors", 1.0),),
+                    split_dims=(("priors", -1),),
+                    n_actions=ds.n_actions, device_cache="on",
+                    log_folder=str(tmp_path / model_type))
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    metrics = learner.learn(ds)
+    assert np.isfinite(metrics["total"])
+
+
+def test_random_features_cli(tmp_path, monkeypatch):
+    """--losses random exports states from the frozen random encoder without
+    training (reference: random-features baseline)."""
+    import os
+
+    from srl_zoo_tpu.data.synthetic import generate_dataset
+    from train import main as train_main
+
+    data = str(tmp_path / "synth")
+    generate_dataset(data, n_episodes=3, episode_len=20, img_size=32, seed=0)
+    monkeypatch.chdir(tmp_path)
+    log = str(tmp_path / "rand")
+    train_main(["--data-folder", data, "--losses", "random",
+                "--state-dim", "4", "-bs", "16", "--epochs", "5",
+                "--log-folder", log, "--no-display-plots"])
+    out = np.load(os.path.join(log, "states_rewards.npz"))
+    assert np.all(np.isfinite(out["states"]))
+    assert os.path.exists(os.path.join(log, "srl_model.msgpack"))
+
+
+def test_vae_plus_triplet_multiview(synthetic_dataset_mv, tmp_path):
+    """Interaction case: reconstruction + metric losses with two views and
+    splits (VAE reconstructs the anchor view; triplet uses its slice)."""
+    ds = synthetic_dataset_mv
+    cfg = SRLConfig(state_dim=8, img_height=32, img_width=32, batch_size=16,
+                    epochs=1, losses=(("vae", 1.0), ("triplet", 1.0)),
+                    split_dims=(("vae", 4), ("triplet", 4)),
+                    multi_view=True, n_actions=ds.n_actions,
+                    device_cache="on",
+                    log_folder=str(tmp_path / "vt"))
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    metrics = learner.learn(ds)
+    assert np.isfinite(metrics["total"])

@@ -134,3 +134,38 @@ def test_registry_weights_and_splits():
     assert np.isclose(metrics["forward"], 0.0)
     assert np.isclose(metrics["inverse"], np.log(2.0), rtol=1e-6)
     assert np.isclose(total, 3.0 * 0.0 + 2.0 * np.log(2.0), rtol=1e-6)
+
+
+def test_priors_gradient_finite_at_zero_delta():
+    """Zero state deltas (wall-blocked agent => identical frames through a
+    BatchNorm-free encoder) must not NaN the gradient: the norm terms use a
+    safe sqrt (regression for the mlp/linear priors NaN)."""
+    import jax
+
+    from srl_zoo_tpu.losses.functions import robotic_priors_loss
+
+    b, d = 8, 4
+    rng = np.random.RandomState(0)
+    s = jnp.asarray(rng.randn(b, d).astype(np.float32))
+    sn = s.at[0].set(s[0])  # row 0: next_state == state exactly
+    sn = sn.at[1:].add(0.1 * rng.randn(b - 1, d).astype(np.float32))
+    partners = jnp.asarray(rng.randint(0, b, b).astype(np.int32))
+    mask = jnp.ones(b, np.float32)
+
+    def loss(s, sn):
+        total, _ = robotic_priors_loss(s, sn, partners, mask, partners, mask)
+        return total
+
+    gs, gsn = jax.grad(loss, argnums=(0, 1))(s, sn)
+    assert np.all(np.isfinite(np.asarray(gs)))
+    assert np.all(np.isfinite(np.asarray(gsn)))
+
+
+def test_triplet_gradient_finite_at_identical_embeddings():
+    import jax
+
+    from srl_zoo_tpu.losses.functions import triplet_loss
+
+    a = jnp.ones((4, 3), np.float32)
+    g = jax.grad(lambda a: triplet_loss(a, a, a))(a)  # d_pos = d_neg = 0
+    assert np.all(np.isfinite(np.asarray(g)))
