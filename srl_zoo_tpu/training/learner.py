@@ -205,6 +205,9 @@ class SRL4robotics:
                                              hot_n=hot_n)
                 self._cache_hot_n = hot_n
             else:
+                if hot_n > 0:
+                    printYellow(f"HBM budget holds only {hot_n} frames "
+                                f"(< 2x batch size) — streaming instead")
                 self._cache = None
         self._cache_key = key
         return self._cache
