@@ -95,3 +95,14 @@ def test_knn_mse_chunked_matches_unchunked(rng):
     s_chunk, _, n_chunk = knn_mse(gt, gt, k=4, query_chunk=32)
     assert np.isclose(s_full, s_chunk, rtol=1e-6)
     np.testing.assert_array_equal(n_full, n_chunk)
+
+
+def test_doctor_cli(synthetic_dataset, capsys):
+    """Environment doctor runs end to end and reports dataset fit."""
+    from srl_zoo_tpu.utils.doctor import main as doctor_main
+
+    rc = doctor_main(["--data-folder", synthetic_dataset.data_folder,
+                      "--skip-bandwidth"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "devices:" in out and "frame store:" in out
