@@ -49,14 +49,23 @@ class DatasetRecorder:
         os.makedirs(self._record_dir, exist_ok=True)
 
     def record(self, obs: np.ndarray, action: int, reward: float,
-               ground_truth_state: Optional[np.ndarray] = None) -> None:
-        """obs: (H, W, 3) RGB uint8."""
+               ground_truth_state: Optional[np.ndarray] = None,
+               obs_2: Optional[np.ndarray] = None) -> None:
+        """obs: (H, W, 3) RGB uint8; ``obs_2`` is the second camera view for
+        multi-view/triplet datasets (write it every step or never)."""
         if self._episode < 0:
             raise RuntimeError("call new_episode() before record()")
         import cv2
-        path = os.path.join(self._record_dir, f"frame{self._t:06d}.jpg")
-        cv2.imwrite(path, np.asarray(obs)[:, :, ::-1],
-                    [cv2.IMWRITE_JPEG_QUALITY, self.jpeg_quality])
+
+        def write(img, suffix=""):
+            path = os.path.join(self._record_dir,
+                                f"frame{self._t:06d}{suffix}.jpg")
+            cv2.imwrite(path, np.asarray(img)[:, :, ::-1],
+                        [cv2.IMWRITE_JPEG_QUALITY, self.jpeg_quality])
+
+        write(obs)
+        if obs_2 is not None:
+            write(obs_2, suffix="_2")
         self._actions.append(int(action))
         self._rewards.append(float(reward))
         self._states.append(

@@ -44,15 +44,25 @@ def preprocess_folder(data_folder: str) -> None:
     if not records:
         raise FileNotFoundError(f"No record_* folders in {data_folder}")
 
-    actions, rewards, episode_starts, states, images = [], [], [], [], []
+    def frame_files(rec: str, suffix: str):
+        out = []
+        for ext in ("jpg", "png"):
+            out += glob.glob(os.path.join(rec, f"frame*{suffix}.{ext}"))
+        if not suffix:  # view-1 pattern must not swallow the _2 files
+            out = [f for f in out if not
+                   os.path.basename(f).split(".")[0].endswith("_2")]
+        return sorted(out)
+
+    actions, rewards, episode_starts, states = [], [], [], []
+    images, images_2 = [], []
     for rec in records:
         ep_file = os.path.join(rec, "episode_data.npz")
         if not os.path.exists(ep_file):
             printYellow(f"Skipping {rec} (no episode_data.npz)")
             continue
         ep = np.load(ep_file)
-        frames = sorted(glob.glob(os.path.join(rec, "frame*.jpg"))) + \
-            sorted(glob.glob(os.path.join(rec, "frame*.png")))
+        frames = frame_files(rec, "")
+        frames_2 = frame_files(rec, "_2")
         t = len(ep["actions"])
         if len(frames) < t:
             raise ValueError(f"{rec}: {len(frames)} frames for {t} steps")
@@ -64,6 +74,17 @@ def preprocess_folder(data_folder: str) -> None:
         episode_starts.append(starts)
         states.append(np.asarray(ep["ground_truth_states"], np.float32))
         images.extend(os.path.relpath(f, data_folder) for f in frames[:t])
+        if frames_2:
+            if len(frames_2) < t:
+                raise ValueError(f"{rec}: {len(frames_2)} view-2 frames for "
+                                 f"{t} steps (record obs_2 every step or "
+                                 "never)")
+            images_2.extend(os.path.relpath(f, data_folder)
+                            for f in frames_2[:t])
+
+    if images_2 and len(images_2) != len(images):
+        raise ValueError("some episodes have view-2 frames and some don't — "
+                         "multi-view datasets need both views everywhere")
 
     np.savez(os.path.join(data_folder, "preprocessed_data.npz"),
              actions=np.concatenate(actions),
@@ -71,9 +92,11 @@ def preprocess_folder(data_folder: str) -> None:
              episode_starts=np.concatenate(episode_starts))
     np.savez(os.path.join(data_folder, "ground_truth.npz"),
              ground_truth_states=np.concatenate(states),
-             images_path=np.asarray(images))
+             images_path=np.asarray(images),
+             **({"images_path_2": np.asarray(images_2)} if images_2 else {}))
     printGreen(f"Wrote preprocessed_data.npz + ground_truth.npz "
-               f"({len(images)} samples, {len(records)} episodes)")
+               f"({len(images)} samples, {len(records)} episodes"
+               f"{', multi-view' if images_2 else ''})")
 
 
 def build_frames_cache(data_folder: str, img_size: int = 224,
@@ -130,7 +153,11 @@ def main(argv=None):
     if not args.no_frames_cache and \
             not os.path.exists(os.path.join(args.data_folder, "frames.npy")):
         build_frames_cache(args.data_folder, args.img_size)
-    if args.multi_view and \
+    has_view2 = args.multi_view
+    gt_path = os.path.join(args.data_folder, "ground_truth.npz")
+    if not has_view2 and os.path.exists(gt_path):
+        has_view2 = "images_path_2" in np.load(gt_path, allow_pickle=True)
+    if has_view2 and \
             not os.path.exists(os.path.join(args.data_folder, "frames_2.npy")):
         build_frames_cache(args.data_folder, args.img_size, view_suffix="_2")
 

@@ -177,3 +177,37 @@ def test_preprocess_shifts_recorded_rewards(tmp_path):
                                [0, 0, 1, 2, 0, 10, 11, 12])
     np.testing.assert_allclose(pre["episode_starts"],
                                [1, 0, 0, 0, 1, 0, 0, 0])
+
+
+def test_record_multiview_to_triplet_training(tmp_path):
+    """Full multi-view lifecycle: record two camera views -> preprocess
+    (images_path_2 + frames_2.npy) -> train triplet on the result."""
+    from srl_zoo_tpu.data.record import DatasetRecorder
+    from srl_zoo_tpu.data.schema import load_dataset
+    from srl_zoo_tpu.preprocessing.preprocess import main as preprocess_main
+    from srl_zoo_tpu.training.learner import SRL4robotics
+
+    rng = np.random.RandomState(0)
+    folder = str(tmp_path / "mv")
+    rec = DatasetRecorder(folder)
+    for ep in range(3):
+        rec.new_episode()
+        for t in range(20):
+            obs = rng.randint(0, 255, (32, 32, 3), np.uint8)
+            obs2 = rng.randint(0, 255, (32, 32, 3), np.uint8)
+            rec.record(obs, action=t % 4, reward=0.0,
+                       ground_truth_state=rng.randn(2).astype(np.float32),
+                       obs_2=obs2)
+    rec.close()
+    preprocess_main(["--data-folder", folder, "--img-size", "32"])
+
+    ds = load_dataset(folder)
+    assert ds.images_path_2 is not None and ds.frames_2 is not None
+    assert ds.frames_2.shape == ds.frames.shape
+
+    cfg = SRLConfig(state_dim=4, img_height=32, img_width=32, batch_size=8,
+                    epochs=1, losses=(("triplet", 1.0),),
+                    split_dims=(("triplet", -1),), multi_view=True,
+                    n_actions=4, log_folder=str(tmp_path / "run"))
+    metrics = SRL4robotics(cfg, log_folder=cfg.log_folder).learn(ds)
+    assert np.isfinite(metrics["total"])
