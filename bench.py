@@ -35,7 +35,7 @@ TORCH_CPU_BASELINE_IPS = 22.8
 
 def _make_setup(batch_size: int, img: int, state_dim: int,
                 compute_dtype: str, cached: bool, n_frames: int = 2048,
-                losses: str = "autoencoder"):
+                losses: str = "autoencoder", model_type: str = "custom_cnn"):
     import jax
 
     from srl_zoo_tpu.config import SRLConfig
@@ -44,7 +44,7 @@ def _make_setup(batch_size: int, img: int, state_dim: int,
     from srl_zoo_tpu.training.train_step import build_steps
 
     loss_tuple = tuple((name, 1.0) for name in losses.split("+"))
-    cfg = SRLConfig(state_dim=state_dim, model_type="custom_cnn",
+    cfg = SRLConfig(state_dim=state_dim, model_type=model_type,
                     losses=loss_tuple,
                     split_dims=tuple((n, -1) for n, _ in loss_tuple),
                     img_height=img, img_width=img, batch_size=batch_size,
@@ -129,14 +129,16 @@ def bench_hybrid(batch_size: int, img: int, state_dim: int,
 def bench_train_step(batch_size: int, img: int, state_dim: int,
                      compute_dtype: str, cached: bool,
                      steps: int = 30, warmup: int = 3,
-                     losses: str = "autoencoder") -> float:
+                     losses: str = "autoencoder",
+                     model_type: str = "custom_cnn") -> float:
     """Streaming mode: per-step device_put + jitted step (host-link bound).
     Cached mode: the whole-epoch lax.scan runner the learner actually uses
     (index-only host traffic)."""
     import jax
 
     train_step, train_epoch, state, cache, host_batches, mesh = _make_setup(
-        batch_size, img, state_dim, compute_dtype, cached, losses=losses)
+        batch_size, img, state_dim, compute_dtype, cached, losses=losses,
+        model_type=model_type)
     rng = jax.random.PRNGKey(1)
 
     if cached:
@@ -194,6 +196,8 @@ def main(argv=None):
             "cached_priors_b512_bf16": (512, "bfloat16", True, "priors"),
             "streaming_b128_bf16": (128, "bfloat16", False, "autoencoder"),
             "hybrid_b128_bf16": (128, "bfloat16", "hybrid", "autoencoder"),
+            "cached_resnet_inverse_b256_bf16":
+                (256, "bfloat16", "resnet", "inverse"),
         }
         img, sd, steps = 224, 200, 20
 
@@ -206,6 +210,11 @@ def main(argv=None):
                 results[name] = bench_hybrid(bs, img, sd, dtype,
                                              steps=12, hot_frac=0.5,
                                              losses=losses)
+            elif cached == "resnet":
+                results[name] = bench_train_step(bs, img, sd, dtype, True,
+                                                 steps=steps, warmup=2,
+                                                 losses=losses,
+                                                 model_type="resnet")
             else:
                 results[name] = bench_train_step(bs, img, sd, dtype, cached,
                                                  steps=steps, warmup=2,
