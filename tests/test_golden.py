@@ -41,3 +41,34 @@ def test_golden_priors_quality(synthetic_dataset, tmp_path):
     states = _train(ds, tmp_path, (("priors", 1.0),))
     knn, _, _ = knn_mse(states, ds.ground_truth_states, k=3)
     assert knn < 0.03, f"priors KNN-MSE regression: {knn}"
+
+
+def test_golden_vae_quality(synthetic_dataset, tmp_path):
+    """beta-VAE gate (measured round 2: knn ~0.011, gtc ~0.75; thresholds
+    ~2x looser)."""
+    ds = synthetic_dataset
+    states = _train(ds, tmp_path, (("vae", 1.0),))
+    knn, _, _ = knn_mse(states, ds.ground_truth_states, k=3)
+    gtc, _ = ground_truth_correlation(states, ds.ground_truth_states)
+    assert knn < 0.025, f"VAE KNN-MSE regression: {knn}"
+    assert gtc > 0.55, f"VAE GTC regression: {gtc}"
+
+
+def test_golden_splits_combo_quality(synthetic_dataset, tmp_path):
+    """SRL-splits combined objective gate (config-4 family; measured round
+    2: knn ~0.012 — threshold ~2x looser)."""
+    ds = synthetic_dataset
+    cfg = SRLConfig(state_dim=4, img_height=32, img_width=32, batch_size=16,
+                    epochs=4, learning_rate=3e-3,
+                    losses=(("autoencoder", 1.0), ("inverse", 2.0),
+                            ("forward", 1.0)),
+                    split_dims=(("autoencoder", 2), ("inverse", 1),
+                                ("forward", 1)),
+                    n_actions=ds.n_actions,
+                    n_reward_classes=ds.n_reward_classes,
+                    seed=1, log_folder=str(tmp_path / "combo"))
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    learner.learn(ds)
+    states = learner.predict_states(ds)
+    knn, _, _ = knn_mse(states, ds.ground_truth_states, k=3)
+    assert knn < 0.03, f"splits-combo KNN-MSE regression: {knn}"
