@@ -226,3 +226,24 @@ def test_plot_every_live_view(tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(plots, "latest.png"))
     html = open(os.path.join(plots, "live.html")).read()
     assert "latest.png" in html and "refresh" in html
+
+
+def test_train_cli_no_validation_split(tmp_path, monkeypatch):
+    """--val-size 0: no val loader; best-model selection falls back to train
+    metrics and the export contract still holds."""
+    import os
+
+    from srl_zoo_tpu.data.synthetic import generate_dataset
+    from train import main as train_main
+
+    data = str(tmp_path / "synth")
+    generate_dataset(data, n_episodes=3, episode_len=20, img_size=32, seed=0)
+    monkeypatch.chdir(tmp_path)
+    log = str(tmp_path / "novalrun")
+    train_main(["--data-folder", data, "--losses", "autoencoder",
+                "--state-dim", "4", "-bs", "16", "--epochs", "2",
+                "--val-size", "0", "--log-folder", log,
+                "--no-display-plots"])
+    assert os.path.exists(os.path.join(log, "srl_model.msgpack"))
+    hist = np.load(os.path.join(log, "loss_history.npz"))
+    assert np.all(np.isfinite(hist["train/total"]))
