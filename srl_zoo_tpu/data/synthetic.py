@@ -14,7 +14,7 @@ layout (record_*/frame*.jpg) and the fast frames.npy memmap are written.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

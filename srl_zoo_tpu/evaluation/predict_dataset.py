@@ -11,7 +11,6 @@ Usage: python -m srl_zoo_tpu.evaluation.predict_dataset \
 from __future__ import annotations
 
 import argparse
-import os
 
 import numpy as np
 

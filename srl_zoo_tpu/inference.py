@@ -11,8 +11,6 @@ encoder with fixed-batch padding so repeated calls never recompile:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 

@@ -18,7 +18,7 @@ observations, accumulate weighted losses, backward, Adam step (SURVEY.md
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
