@@ -17,6 +17,19 @@ from typing import Dict
 import numpy as np
 
 
+def _make_tb_writer(log_folder: str):
+    """Optional TensorBoard event writer (SRL_ZOO_TENSORBOARD=1 and
+    tensorflow importable — it ships with the profiler tooling). Events land
+    in <log_folder>/tb; view with `tensorboard --logdir <log_folder>/tb`."""
+    if os.environ.get("SRL_ZOO_TENSORBOARD", "0") != "1":
+        return None
+    try:
+        import tensorflow as tf
+        return tf.summary.create_file_writer(os.path.join(log_folder, "tb"))
+    except Exception:  # tensorflow absent/broken — jsonl+npz still written
+        return None
+
+
 class MetricsLogger:
     def __init__(self, log_folder: str):
         self.log_folder = log_folder
@@ -24,6 +37,7 @@ class MetricsLogger:
         self._jsonl = open(os.path.join(log_folder, "metrics.jsonl"), "a")
         self.history: Dict[str, list] = defaultdict(list)
         self._t0 = time.time()
+        self._tb = _make_tb_writer(log_folder)
 
     def log_step(self, step: int, metrics: Dict[str, float], **extra) -> None:
         rec = {"step": int(step), "time": round(time.time() - self._t0, 3)}
@@ -40,6 +54,14 @@ class MetricsLogger:
             self.history[f"train/{k}"].append(float(v))
         for k, v in val_metrics.items():
             self.history[f"val/{k}"].append(float(v))
+        if self._tb is not None:
+            import tensorflow as tf
+            with self._tb.as_default():
+                for k, v in train_metrics.items():
+                    tf.summary.scalar(f"train/{k}", float(v), step=epoch)
+                for k, v in val_metrics.items():
+                    tf.summary.scalar(f"val/{k}", float(v), step=epoch)
+            self._tb.flush()
 
     def save_history(self) -> str:
         """Write the loss-history npz the plotting CLI consumes

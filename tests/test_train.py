@@ -396,3 +396,17 @@ def test_bucket_padding_reuses_compiled_program(synthetic_dataset, tmp_path):
         s = jax.device_put(host_state, replicated_sharding(mesh))
         train_epoch(s, shard_stacked_batch(stacked, mesh), rng, cache)
     assert train_epoch._cache_size() == 1
+
+
+def test_tensorboard_events_opt_in(synthetic_dataset, tmp_path, monkeypatch):
+    """SRL_ZOO_TENSORBOARD=1 writes TB event files next to the jsonl/npz
+    artifacts; default off."""
+    import os
+
+    monkeypatch.setenv("SRL_ZOO_TENSORBOARD", "1")
+    cfg = _cfg(synthetic_dataset, tmp_path, epochs=1)
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    learner.learn(synthetic_dataset)
+    tb_dir = tmp_path / "run" / "tb"
+    assert tb_dir.exists()
+    assert any(f.name.startswith("events.out") for f in tb_dir.iterdir())
