@@ -1,10 +1,13 @@
-.PHONY: test smoke bench perf-gate native clean demo
+.PHONY: test test-fast smoke bench perf-gate native clean demo
 
 native:
 	$(MAKE) -C native
 
 test:
 	python -m pytest tests/ -q
+
+test-fast:
+	python -m pytest tests/ -q -m "not slow"
 
 smoke:
 	bash ci/smoke.sh
