@@ -200,3 +200,26 @@ def test_vae_plus_triplet_multiview(synthetic_dataset_mv, tmp_path):
     learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
     metrics = learner.learn(ds)
     assert np.isfinite(metrics["total"])
+
+
+def test_bfloat16_compute_end_to_end(synthetic_dataset, tmp_path):
+    """--dtype bfloat16 (the TPU production dtype) through the full learner:
+    finite losses, finite float32 state export."""
+    ds = synthetic_dataset
+    cfg = SRLConfig(state_dim=8, img_height=32, img_width=32, batch_size=16,
+                    epochs=2, compute_dtype="bfloat16",
+                    losses=(("autoencoder", 1.0), ("inverse", 1.0),
+                            ("reward", 1.0)),
+                    split_dims=(("autoencoder", 4), ("inverse", 2),
+                                ("reward", 2)),
+                    n_actions=ds.n_actions,
+                    n_reward_classes=ds.n_reward_classes,
+                    device_cache="on",
+                    log_folder=str(tmp_path / "bf16"))
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    metrics = learner.learn(ds)
+    assert np.isfinite(metrics["total"])
+    states = learner.predict_states(ds)
+    assert states.dtype == np.float32 and np.all(np.isfinite(states))
+    hist = np.load(tmp_path / "bf16" / "loss_history.npz")
+    assert hist["train/total"][-1] < hist["train/total"][0]
