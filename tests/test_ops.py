@@ -132,3 +132,72 @@ def test_max_pool_argmax_gradient_valid():
     n_windows = 4 * 4 * 2
     np.testing.assert_allclose(float(jnp.sum(grad)), n_windows, rtol=1e-6)
     assert int(jnp.sum(grad > 0)) <= n_windows
+
+
+def test_fused_relu_max_pool_forward_exact():
+    """ops/fused_pool.py Pallas kernel (interpret mode) must be bit-identical
+    to nn.max_pool(nn.relu(x)) on every packable geometry, both pad styles,
+    f32 and bf16."""
+    import jax.numpy as jnp
+
+    from srl_zoo_tpu.ops.fused_pool import (relu_max_pool,
+                                            relu_max_pool_reference)
+
+    rng = np.random.RandomState(0)
+    for shape, padding in [((2, 16, 16, 8), "SAME"),
+                           ((2, 16, 16, 8), ((1, 1), (1, 1))),
+                           ((3, 28, 28, 16), "SAME")]:
+        # bf16 exercises the Pallas kernel (the bit-packed argmax needs a
+        # 16-bit float input); f32 must take the identical-by-construction
+        # XLA fallback
+        for dtype in (jnp.bfloat16, jnp.float32):
+            x = jnp.asarray(rng.randn(*shape).astype(np.float32), dtype=dtype)
+            got = relu_max_pool(x, padding, use_pallas=True, interpret=True)
+            ref = relu_max_pool_reference(x, padding)
+            assert got.dtype == ref.dtype
+            assert bool(jnp.all(got == ref)), (shape, padding, dtype)
+
+
+def test_fused_relu_max_pool_gradient_routing_exact():
+    """Integer inputs AND integer cotangents make every gradient sum exact,
+    so any tie-routing difference vs XLA's select-and-scatter (including the
+    relu-clamped zero-gradient case) shows as a hard mismatch."""
+    import jax
+    import jax.numpy as jnp
+
+    from srl_zoo_tpu.ops.fused_pool import (relu_max_pool,
+                                            relu_max_pool_reference)
+
+    rng = np.random.RandomState(1)
+    for shape, padding in [((2, 16, 16, 8), "SAME"),
+                           ((2, 16, 16, 8), ((1, 1), (1, 1)))]:
+        # many exact ties (values in {-2..2}) and many relu-clamped windows;
+        # bf16 (exact for small ints) so the Pallas path actually runs
+        x = jnp.asarray(rng.randint(-2, 3, shape).astype(np.float32),
+                        dtype=jnp.bfloat16)
+        gs = relu_max_pool_reference(x, padding).shape
+        g = jnp.asarray(rng.randint(-8, 9, gs).astype(np.float32),
+                        dtype=jnp.bfloat16)
+        dref = jax.grad(lambda x: jnp.vdot(
+            relu_max_pool_reference(x, padding), g))(x)
+        dgot = jax.grad(lambda x: jnp.vdot(
+            relu_max_pool(x, padding, use_pallas=True, interpret=True), g))(x)
+        assert bool(jnp.all(dref == dgot)), (shape, padding)
+
+
+def test_fused_relu_max_pool_fallbacks():
+    """Non-packable geometries (odd extents) and the measured default
+    (use_pallas=None -> XLA, docs/PERF.md) must route to the reference."""
+    import jax.numpy as jnp
+
+    from srl_zoo_tpu.ops.fused_pool import (relu_max_pool,
+                                            relu_max_pool_reference)
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 7, 7, 4).astype(np.float32))
+    ref = relu_max_pool_reference(x, "SAME")
+    # odd geometry falls back even with use_pallas=True
+    assert bool(jnp.all(relu_max_pool(x, "SAME", use_pallas=True) == ref))
+    x = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    ref = relu_max_pool_reference(x, "SAME")
+    assert bool(jnp.all(relu_max_pool(x, "SAME") == ref))  # default = XLA
