@@ -14,12 +14,28 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from srl_zoo_tpu.ops.subpixel import SubpixelConvTranspose
+
 
 class CNNDecoder(nn.Module):
     img_height: int
     img_width: int
     out_channels: int = 3
     dtype: Any = jnp.float32
+    # "conv_transpose" (lax.conv_transpose) or "subpixel" (parity conv +
+    # depth-to-space, ops/subpixel.py). Parameter trees are identical, so
+    # the two load each other's checkpoints; pick by measurement
+    # (benchmarks/subpixel_bench.py, docs/PERF.md).
+    deconv: str = "conv_transpose"
+
+    def _deconv(self, idx, features, dtype):
+        # Explicit names keep the param tree identical across the two
+        # implementations (flax would otherwise auto-name by class).
+        name = f"ConvTranspose_{idx}"
+        if self.deconv == "subpixel":
+            return SubpixelConvTranspose(features, dtype=dtype, name=name)
+        return nn.ConvTranspose(features, (4, 4), strides=(2, 2), dtype=dtype,
+                                name=name)
 
     @nn.compact
     def __call__(self, z: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -30,13 +46,11 @@ class CNNDecoder(nn.Module):
         x = nn.Dense(h0 * w0 * 64, dtype=self.dtype)(z)
         x = nn.relu(x)
         x = x.reshape((z.shape[0], h0, w0, 64))
-        for features in (64, 64, 32, 16):
-            x = nn.ConvTranspose(features, (4, 4), strides=(2, 2),
-                                 dtype=self.dtype)(x)
+        for i, features in enumerate((64, 64, 32, 16)):
+            x = self._deconv(i, features, self.dtype)(x)
             x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
             x = nn.relu(x)
-        x = nn.ConvTranspose(self.out_channels, (4, 4), strides=(2, 2),
-                             dtype=jnp.float32)(x)
+        x = self._deconv(4, self.out_channels, jnp.float32)(x)
         # tanh keeps reconstructions in the "tf" normalization range [-1, 1]
         return nn.tanh(x)
 
