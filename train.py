@@ -221,6 +221,14 @@ def main(argv=None):
     printGreen(f"GTC score: {gtc:.4f}")
     with open(os.path.join(log_folder, "gtc.txt"), "w") as f:
         f.write(f"{gtc:.6f}\n")
+
+    if args.num_processes > 1:
+        # Every host must finish its (host-side, unsynchronized) artifact
+        # writing before ANY host enters the atexit jax.distributed shutdown
+        # barrier: a host still rendering plots under load can otherwise miss
+        # the barrier deadline and poison the whole cluster's exit.
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("srl_zoo_end_of_run")
     return log_folder
 
 
