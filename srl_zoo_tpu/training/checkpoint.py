@@ -60,7 +60,8 @@ def load_srl_model(log_folder: str, cfg: SRLConfig) -> Tuple:
 
 
 # ---- full-state resume checkpoints ---------------------------------------------
-def save_train_state(log_folder: str, state: TrainState) -> str:
+def save_train_state(log_folder: str, state: TrainState,
+                     best_val: Optional[float] = None) -> str:
     ckpt_dir = os.path.join(log_folder, RESUME_DIR)
     os.makedirs(ckpt_dir, exist_ok=True)
     step = int(jax.device_get(state.step))
@@ -69,9 +70,22 @@ def save_train_state(log_folder: str, state: TrainState) -> str:
     with open(tmp, "wb") as f:
         f.write(flax.serialization.to_bytes(jax.device_get(state)))
     os.replace(tmp, path)
+    meta = {"step": step}
+    if best_val is not None and best_val != float("inf"):
+        # persisted so a resumed run keeps selecting against the pre-crash
+        # best instead of overwriting srl_model.msgpack on its first epoch
+        meta["best_val"] = float(best_val)
     with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:
-        json.dump({"step": step}, f)
+        json.dump(meta, f)
     return path
+
+
+def load_meta(log_folder: str) -> dict:
+    path = os.path.join(log_folder, RESUME_DIR, "meta.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
 
 
 def restore_train_state(log_folder: str, template: TrainState
@@ -122,8 +136,9 @@ class AsyncCheckpointer:
             for kind, payload in jobs.items():
                 try:
                     if kind == "state":
+                        state, best_val = payload
                         save_train_state(self.log_folder,
-                                         jax.device_get(payload))
+                                         jax.device_get(state), best_val)
                     elif kind == "model":
                         save_srl_model(self.log_folder, *payload)
                 except BaseException as e:  # surfaced in close()
@@ -141,8 +156,9 @@ class AsyncCheckpointer:
             self._jobs[kind] = payload
         self._event.set()
 
-    def save_state(self, state: TrainState) -> None:
-        self._submit("state", _device_copy(state))
+    def save_state(self, state: TrainState,
+                   best_val: Optional[float] = None) -> None:
+        self._submit("state", (_device_copy(state), best_val))
 
     def save_model(self, params, batch_stats) -> None:
         self._submit("model", (_device_copy(params),

@@ -12,6 +12,7 @@ a background thread while the device computes.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable, Dict, Optional
 
@@ -177,7 +178,7 @@ class SRL4robotics:
                     "--device-cache sharded, but the dataset exceeds even "
                     f"the {n_dev}-device aggregate HBM budget / has no "
                     "frames.npy at the training resolution")
-            nbytes = dc.cache_nbytes(dataset)
+            nbytes = dc.cache_nbytes(dataset, needs_view2)
             printGreen(f"Sharding dataset over {n_dev} devices "
                        f"({nbytes / 2**20:.0f} MiB total, "
                        f"{nbytes / n_dev / 2**20:.0f} MiB/chip)")
@@ -185,7 +186,7 @@ class SRL4robotics:
                                                  needs_view2)
         elif cfg.device_cache != "hybrid" and dc.fits(dataset, hw,
                                                       needs_view2):
-            nbytes = dc.cache_nbytes(dataset)
+            nbytes = dc.cache_nbytes(dataset, needs_view2)
             printGreen(f"Caching dataset in HBM ({nbytes / 2**20:.0f} MiB, "
                        "replicated across the mesh)")
             self._cache = dc.build_cache(dataset, self.mesh, needs_view2)
@@ -328,15 +329,11 @@ class SRL4robotics:
 
         logger = MetricsLogger(self.log_folder)
         best_val = float("inf")
-        # best weights tracked as ON-DEVICE copies: no per-improvement
-        # device->host transfer on the critical path (the async checkpoint
-        # writer does the transfer in the background)
-        best_params = (ckpt._device_copy(self.state.params),
-                       ckpt._device_copy(self.state.batch_stats))
 
         if cfg.only_random_features:
             printYellow("random features only — skipping training")
-            ckpt.save_srl_model(self.log_folder, *best_params)
+            ckpt.save_srl_model(self.log_folder, self.state.params,
+                                self.state.batch_stats)
             logger.save_history()
             logger.close()
             return {"total": 0.0}
@@ -364,15 +361,28 @@ class SRL4robotics:
                 steps_done = int(jax.device_get(self.state.step))
                 start_epoch = min(steps_done // max(steps_per_epoch, 1),
                                   cfg.epochs)
+                # keep selecting against the pre-crash best: without this a
+                # resumed run's first epoch always overwrote a possibly
+                # better srl_model.msgpack
+                best_val = float(ckpt.load_meta(self.log_folder)
+                                 .get("best_val", float("inf")))
                 printGreen(f"Resumed from step {steps_done} "
-                           f"(epoch {start_epoch})")
+                           f"(epoch {start_epoch}, best val {best_val:.4f})")
+
+        # best weights tracked as ON-DEVICE copies: no per-improvement
+        # device->host transfer on the critical path (the async checkpoint
+        # writer does the transfer in the background). Snapshot AFTER any
+        # resume restore — snapshotting the fresh random init here used to
+        # clobber the exported best model when a finished run was resumed.
+        best_params = (ckpt._device_copy(self.state.params),
+                       ckpt._device_copy(self.state.batch_stats))
+        improved_this_run = False
 
         step = int(jax.device_get(self.state.step))
         val_metrics: Dict[str, float] = {}
         profiling = False
         for epoch in range(start_epoch, cfg.epochs):
             if profile and epoch == start_epoch:
-                import os
                 jax.profiler.start_trace(
                     os.path.join(self.log_folder, "profile"))
                 profiling = True
@@ -436,18 +446,30 @@ class SRL4robotics:
                 best_val = val_metrics["total"]
                 best_params = (ckpt._device_copy(self.state.params),
                                ckpt._device_copy(self.state.batch_stats))
+                improved_this_run = True
                 ckpt_writer.save_model(*best_params)
             if (epoch + 1) % max(checkpoint_every, 1) == 0 \
                     or epoch == cfg.epochs - 1:
-                ckpt_writer.save_state(self.state)
+                ckpt_writer.save_state(self.state, best_val)
             if epoch_callback is not None:
                 epoch_callback(self, epoch, train_metrics, val_metrics)
 
-        # keep the best-val weights for export (reference behavior); the
-        # copies live on device already — no host round trip
-        self.state = self.state.replace(params=best_params[0],
-                                        batch_stats=best_params[1])
-        ckpt_writer.save_model(*best_params)  # covers the resumed-done case
+        model_file = os.path.join(self.log_folder, ckpt.MODEL_FILE)
+        if improved_this_run or not os.path.exists(model_file):
+            # keep the best-val weights for export (reference behavior); the
+            # copies live on device already — no host round trip
+            self.state = self.state.replace(params=best_params[0],
+                                            batch_stats=best_params[1])
+            ckpt_writer.save_model(*best_params)
+        else:
+            # resumed without beating the pre-crash best: the on-disk best
+            # model stays authoritative — reload it so the post-training
+            # state export uses the best weights, not the last-step ones
+            _, st, _ = ckpt.load_srl_model(self.log_folder, cfg)
+            self.state = jax.device_put(
+                self.state.replace(params=st.params,
+                                   batch_stats=st.batch_stats),
+                replicated_sharding(self.mesh))
         ckpt_writer.close()  # flush pending writes (incl. the best model)
         logger.save_history()
         logger.close()

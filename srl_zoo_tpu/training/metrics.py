@@ -36,6 +36,16 @@ class MetricsLogger:
         os.makedirs(log_folder, exist_ok=True)
         self._jsonl = open(os.path.join(log_folder, "metrics.jsonl"), "a")
         self.history: Dict[str, list] = defaultdict(list)
+        # a resumed run continues the existing history instead of overwriting
+        # loss_history.npz with only the post-resume epochs
+        hist_path = os.path.join(log_folder, "loss_history.npz")
+        if os.path.exists(hist_path):
+            try:
+                with np.load(hist_path) as z:
+                    for k in z.files:
+                        self.history[k] = z[k].tolist()
+            except Exception:
+                self.history = defaultdict(list)  # corrupt file: start fresh
         self._t0 = time.time()
         self._tb = _make_tb_writer(log_folder)
 
@@ -49,6 +59,13 @@ class MetricsLogger:
 
     def log_epoch(self, epoch: int, train_metrics: Dict[str, float],
                   val_metrics: Dict[str, float]) -> None:
+        epochs = self.history.get("epoch", [])
+        if epochs and epoch <= epochs[-1]:
+            # resume re-runs this epoch: drop the stale tail so the curve
+            # stays monotone in epoch with one row per epoch
+            keep = sum(1 for e in epochs if e < epoch)
+            for k in self.history:
+                self.history[k] = self.history[k][:keep]
         self.history["epoch"].append(epoch)
         for k, v in train_metrics.items():
             self.history[f"train/{k}"].append(float(v))

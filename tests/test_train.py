@@ -410,3 +410,55 @@ def test_tensorboard_events_opt_in(synthetic_dataset, tmp_path, monkeypatch):
     tb_dir = tmp_path / "run" / "tb"
     assert tb_dir.exists()
     assert any(f.name.startswith("events.out") for f in tb_dir.iterdir())
+
+
+def test_fits_ignores_unused_second_view():
+    """HBM budgeting must count only what build_cache uploads: a dual-view
+    dataset trained single-view budgets frames.npy alone (review r2)."""
+    from srl_zoo_tpu.data import device_cache as dc
+    from srl_zoo_tpu.data.schema import Dataset
+
+    n, hw = 16, (8, 8)
+    frames = np.zeros((n, *hw, 3), np.uint8)
+    ds = Dataset(data_folder="x", actions=np.zeros(n, np.int32),
+                 rewards=np.zeros(n, np.float32),
+                 reward_classes=np.zeros(n, np.int32),
+                 episode_starts=np.zeros(n, bool),
+                 ground_truth_states=np.zeros((n, 2), np.float32),
+                 images_path=np.array(["p"] * n),
+                 frames=frames, frames_2=frames.copy())
+    one_view = frames.nbytes
+    assert dc.cache_nbytes(ds, needs_view2=False) == one_view
+    assert dc.cache_nbytes(ds, needs_view2=True) == 2 * one_view
+    # budget holds exactly one view: single-view config fits, dual does not
+    assert dc.fits(ds, hw, needs_view2=False, max_bytes=one_view)
+    assert not dc.fits(ds, hw, needs_view2=True, max_bytes=one_view)
+    # hybrid hot-prefix accounting follows the same rule
+    assert dc.hybrid_hot_n(ds, hw, needs_view2=False,
+                           max_bytes=one_view) == n
+    assert dc.hybrid_hot_n(ds, hw, needs_view2=True,
+                           max_bytes=one_view) == n // 2
+
+
+def test_resume_after_completion_keeps_best_model(synthetic_dataset,
+                                                  tmp_path):
+    """Resuming an already-finished run must not clobber the exported best
+    model with fresh-init weights, and must keep the full loss history
+    (review r2: best_params used to be snapshotted before the restore)."""
+    cfg = _cfg(synthetic_dataset, tmp_path, epochs=2)
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    learner.learn(synthetic_dataset)
+    run = tmp_path / "run"
+    trained_bytes = (run / "srl_model.msgpack").read_bytes()
+    states_before = learner.predict_states(synthetic_dataset)
+    epochs_before = np.load(run / "loss_history.npz")["epoch"].tolist()
+
+    learner2 = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    learner2.learn(synthetic_dataset, resume=True)
+    assert (run / "srl_model.msgpack").read_bytes() == trained_bytes
+    np.testing.assert_allclose(learner2.predict_states(synthetic_dataset),
+                               states_before, atol=1e-5)
+    assert np.load(run / "loss_history.npz")["epoch"].tolist() \
+        == epochs_before
+    # the pre-crash best val survives in the checkpoint meta
+    assert ckpt.load_meta(str(run)).get("best_val") is not None
