@@ -48,12 +48,18 @@ def _frame_nbytes(dataset: Dataset, needs_view2: bool) -> Optional[int]:
     return per * (2 if needs_view2 else 1)
 
 
-def cache_nbytes(dataset: Dataset) -> Optional[int]:
-    """Total bytes the cache would occupy, or None if frames aren't loadable."""
+def cache_nbytes(dataset: Dataset, needs_view2: bool = True
+                 ) -> Optional[int]:
+    """Bytes the cache would occupy, or None if frames aren't loadable.
+
+    Only what ``build_cache`` would actually upload is counted: the second
+    view exists on disk for every multi-view recording, but a single-view
+    config never uploads it, so it must not count against the HBM budget.
+    """
     if dataset.frames is None:
         return None
     n = dataset.frames.nbytes
-    if dataset.frames_2 is not None:
+    if needs_view2 and dataset.frames_2 is not None:
         n += dataset.frames_2.nbytes
     return n
 
@@ -68,7 +74,7 @@ def fits(dataset: Dataset, hw: tuple, needs_view2: bool,
         return False  # host-side resize path required
     if needs_view2 and dataset.frames_2 is None:
         return False
-    n = cache_nbytes(dataset)
+    n = cache_nbytes(dataset, needs_view2)
     return n is not None and n <= max_bytes
 
 
