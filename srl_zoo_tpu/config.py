@@ -41,7 +41,12 @@ VALID_MODELS = ("custom_cnn", "resnet", "mlp", "linear")
 # Losses that require a decoder head.
 RECONSTRUCTION_LOSSES = ("autoencoder", "vae", "dae", "perceptual")
 # Losses that need (obs, next_obs) pairs.
-TEMPORAL_LOSSES = ("priors", "forward", "inverse", "reward", "triplet")
+# Losses whose formulas consume the NEXT state s' (losses/registry.py +
+# models/srl_modules.py heads). Triplet and episode-prior do NOT: triplet
+# pairs (anchor, second view, negative) and episode-prior pairs states
+# within the batch — encoding next_obs for them would be a wasted full
+# encoder pass per step (review r2).
+NEXT_STATE_LOSSES = ("priors", "forward", "inverse", "reward")
 
 
 def parse_loss_arguments(loss_args: List[str], state_dim: int
@@ -249,8 +254,7 @@ class SRLConfig:
 
     @property
     def needs_next_obs(self) -> bool:
-        return any(n in TEMPORAL_LOSSES or n == "episode-prior"
-                   for n in self.loss_names)
+        return any(n in NEXT_STATE_LOSSES for n in self.loss_names)
 
     def replace(self, **kw) -> "SRLConfig":
         return dataclasses.replace(self, **kw)

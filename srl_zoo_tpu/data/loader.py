@@ -139,17 +139,20 @@ class DataLoader:
                     rng: np.random.RandomState) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         ds = self.ds
+        # THE reward-convention invariant (schema.py): rewards[t] is the
+        # reward upon ARRIVING at frame t, so transition idx reads idx+1 —
+        # derived once here for every consumer below
+        nxt = np.minimum(idx + 1, ds.n_samples - 1)
         batch: Dict[str, np.ndarray] = {
             "indices": idx.astype(np.int32),
             "valid": valid.astype(np.float32),
             "actions": ds.actions[idx],
-            "reward_classes": ds.reward_classes[np.minimum(idx + 1, ds.n_samples - 1)],
-            "rewards": ds.rewards[np.minimum(idx + 1, ds.n_samples - 1)],
+            "reward_classes": ds.reward_classes[nxt],
+            "rewards": ds.rewards[nxt],
         }
         if self.emit_images:
             batch["obs"] = self._observation(idx)
         if cfg.needs_next_obs and self.emit_images:
-            nxt = np.minimum(idx + 1, ds.n_samples - 1)
             batch["next_obs"] = self._observation(nxt)
         if cfg.use_triplet:
             negs = samplers.triplet_negatives(idx, self._episode_ids,
@@ -162,7 +165,7 @@ class DataLoader:
         if cfg.use_priors:
             sp, sm = samplers.find_same_action_pairs(ds.actions[idx], rng)
             dp, dm = samplers.find_dissimilar_pairs(
-                ds.actions[idx], ds.reward_classes[np.minimum(idx + 1, ds.n_samples - 1)], rng)
+                ds.actions[idx], ds.reward_classes[nxt], rng)
             batch["same_action_partners"], batch["same_action_mask"] = sp, sm
             batch["dissimilar_partners"], batch["dissimilar_mask"] = dp, dm
         if cfg.use_episode_prior:
@@ -176,9 +179,11 @@ class DataLoader:
         idx = self.indices
         if self.cfg.balanced_sampling and self.shuffle:
             # oversample by the reward class of the *resulting* transition
-            rc = self.ds.reward_classes[np.minimum(idx + 1, self.ds.n_samples - 1)]
+            # (same rewards[idx+1] convention as _make_batch)
+            rc = self.ds.reward_classes[np.minimum(idx + 1,
+                                                   self.ds.n_samples - 1)]
             order = samplers.balanced_reward_indices(
-                np.arange(len(idx), dtype=np.int32), rc[np.arange(len(idx))], rng)
+                np.arange(len(idx), dtype=np.int32), rc, rng)
             idx = idx[order]
         elif self.shuffle:
             idx = idx[rng.permutation(len(idx))]
