@@ -78,6 +78,7 @@ static void resize_one(const uint8_t* src, int sh, int sw, int c,
 // Bilinear-resize n NHWC uint8 images (sh, sw, c) -> (dh, dw, c).
 int batch_resize_bilinear_u8(const uint8_t* src, int n, int sh, int sw,
                              int c, uint8_t* dst, int dh, int dw) {
+  if (n < 0 || sh <= 0 || sw <= 0 || c <= 0 || dh <= 0 || dw <= 0) return -1;
   const int64_t s_stride = static_cast<int64_t>(sh) * sw * c;
   const int64_t d_stride = static_cast<int64_t>(dh) * dw * c;
   for (int i = 0; i < n; ++i)

@@ -46,9 +46,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _lib_failed:
             return _lib
-        if not os.path.exists(_SO_PATH) and not _build():
-            _lib_failed = True
-            return None
+        src = os.path.join(_SRC_DIR, "srlhost.cpp")
+        stale = (not os.path.exists(_SO_PATH)
+                 or (os.path.exists(src)
+                     and os.path.getmtime(src) > os.path.getmtime(_SO_PATH)))
+        if stale and not _build():
+            _lib_failed = os.path.exists(_SO_PATH) is False
+            if _lib_failed:
+                return None  # no library at all; stale-but-present still loads
         try:
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
@@ -108,8 +113,12 @@ def resize_batch(imgs: np.ndarray, dh: int, dw: int) -> np.ndarray:
                          for im in imgs])
     imgs = np.ascontiguousarray(imgs)
     out = np.empty((n, dh, dw, c), np.uint8)
-    lib.batch_resize_bilinear_u8(_u8ptr(imgs), n, sh, sw, c,
-                                 _u8ptr(out), dh, dw)
+    rc = lib.batch_resize_bilinear_u8(_u8ptr(imgs), n, sh, sw, c,
+                                      _u8ptr(out), dh, dw)
+    if rc != 0:
+        # never hand back the uninitialized np.empty buffer as pixels
+        raise ValueError(f"resize_batch: bad geometry "
+                         f"({n}x{sh}x{sw}x{c} -> {dh}x{dw})")
     return out
 
 

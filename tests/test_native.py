@@ -94,3 +94,13 @@ def test_loader_uses_native_jpeg_path(tmp_path, rng):
     raw = cv2.imread(os.path.join(folder, ds.images_path[batch["indices"][0]]))
     assert np.mean(np.abs(batch["obs"][0].astype(int)
                           - raw[:, :, ::-1].astype(int))) < 8
+
+
+def test_resize_batch_rejects_degenerate_geometry():
+    """The C resize reports bad dims; the wrapper must raise instead of
+    returning an uninitialized buffer (review r2)."""
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    bad = np.zeros((1, 0, 5, 3), np.uint8)  # sh == 0
+    with pytest.raises(ValueError):
+        native.resize_batch(bad, 4, 4)
