@@ -54,3 +54,21 @@ def test_dryrun_multichip_hermetic_in_driver_env():
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "sharded train step OK" in proc.stdout
     assert "epoch scan OK" in proc.stdout
+
+
+def test_dryrun_after_entry_same_process():
+    """The driver may run the single-chip compile check and the multichip
+    dryrun in ONE process: after entry() initialized a (possibly non-CPU)
+    backend with fewer than 8 CPU devices, dryrun_multichip must reset and
+    re-init the CPU platform instead of counting the wrong platform's
+    devices (review r2)."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # no preset virtual device count
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; import jax; "
+         "fn, a = g.entry(); jax.jit(fn)(*a); "
+         "g.dryrun_multichip(8)"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "sharded train step OK" in proc.stdout
