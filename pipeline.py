@@ -93,7 +93,7 @@ def aggregate_seeds(per_seed: list) -> dict:
     agg["seeds"] = [r["seed"] for r in per_seed]
     agg["log_folders"] = [r["log_folder"] for r in per_seed]
     agg.pop("log_folder", None)
-    for key in ("knn_mse", "gtc", "reward_accuracy"):
+    for key in ("knn_mse", "gtc", "reward_accuracy", "images_per_sec"):
         vals = np.asarray([r[key] for r in per_seed], float)
         agg[key] = float(vals.mean())
         agg[f"{key}_std"] = float(vals.std())
@@ -136,13 +136,18 @@ def main(argv=None):
     if args.exp_config:
         with open(args.exp_config) as f:
             grid = json.load(f)
-        args.data_folder = grid.get("data-folder", args.data_folder)
-        loss_groups = grid.get("losses", [["autoencoder"]])
-        args.state_dims = grid.get("state-dims", args.state_dims)
-        args.model_types = grid.get("model-types", args.model_types)
-        args.epochs = grid.get("epochs", args.epochs)
-        args.batch_size = grid.get("batch-size", args.batch_size)
-        args.seed = grid.get("seed", args.seed)
+        # Every CLI flag is honored as a JSON key (dash or underscore
+        # spelling): silently ignoring grid keys (seeds, dtype, multi-view,
+        # ...) used to run hours of experiments with the wrong config.
+        known = {name.replace("_", "-"): name for name in vars(args)}
+        loss_groups = grid.pop("losses", [["autoencoder"]])
+        for key, value in grid.items():
+            name = known.get(key) or known.get(key.replace("_", "-"))
+            if name is None:
+                printYellow(f"exp-config: unknown key {key!r} ignored "
+                            f"(known: {sorted(known)})")
+            else:
+                setattr(args, name, value)
     else:
         loss_groups = args.losses or [["autoencoder"]]
 
@@ -156,6 +161,9 @@ def main(argv=None):
     check_dataset(data_folder, args.img_size)
 
     seeds = args.seeds or [args.seed]
+    report_dir = os.path.join("logs", dataset_name)
+    os.makedirs(report_dir, exist_ok=True)
+    report_path = os.path.join(report_dir, "pipeline_report.json")
     results = []
     for losses, state_dim, model_type in itertools.product(
             loss_groups, args.state_dims, args.model_types):
@@ -166,12 +174,10 @@ def main(argv=None):
                     for seed in seeds]
         results.append(aggregate_seeds(per_seed) if len(per_seed) > 1
                        else per_seed[0])
-
-    report_dir = os.path.join("logs", dataset_name)
-    os.makedirs(report_dir, exist_ok=True)
-    report_path = os.path.join(report_dir, "pipeline_report.json")
-    with open(report_path, "w") as f:
-        json.dump(results, f, indent=2)
+        # rewrite the report after EVERY cell: a crash in a later cell must
+        # not discard hours of completed grid results
+        with open(report_path, "w") as f:
+            json.dump(results, f, indent=2)
     printGreen("\n=== Pipeline summary (KNN-MSE lower is better) ===")
     for r in sorted(results, key=lambda r: r["knn_mse"]):
         printGreen(f"  {r['model_type']:>10} dim={r['state_dim']:<4} "

@@ -129,14 +129,24 @@ def test_recorder_to_training_lifecycle(tmp_path, monkeypatch):
 
 
 def test_pipeline_exp_config(ds_folder, tmp_path, monkeypatch):
+    """Every grid key is honored — 'seeds' and 'val-size' used to be read
+    from the CLI defaults only, silently running the wrong experiment
+    (review r2)."""
     monkeypatch.chdir(tmp_path)
     grid = {"data-folder": ds_folder, "losses": [["autoencoder"]],
-            "state-dims": [4], "epochs": 1, "batch-size": 8}
+            "state-dims": [4], "epochs": 1, "batch-size": 8,
+            "seeds": [1, 2], "val-size": 0.25}
     cfg_path = tmp_path / "grid.json"
     cfg_path.write_text(json.dumps(grid))
     import pipeline as pipeline_cli
     results = pipeline_cli.main(["--exp-config", str(cfg_path), "--no-grids"])
     assert len(results) == 1 and np.isfinite(results[0]["knn_mse"])
+    # the seeds key took effect: multi-seed aggregate with mean/std rows
+    assert results[0]["seeds"] == [1, 2]
+    assert "knn_mse_std" in results[0] and "images_per_sec_std" in results[0]
+    # report was written incrementally (exists even before main returned)
+    assert os.path.exists(tmp_path / "logs" / os.path.basename(ds_folder)
+                          / "pipeline_report.json")
 
 
 def test_synthetic_kuka_task(tmp_path):
