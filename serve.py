@@ -57,13 +57,25 @@ def make_handler(encoder, info: dict):
                 length = int(self.headers.get("Content-Length", "0"))
                 obs = np.load(io.BytesIO(self.rfile.read(length)),
                               allow_pickle=False)
+                if obs.dtype != np.uint8:
+                    # np.asarray(..., uint8) would truncate float images to
+                    # ~all-zeros and return garbage states with a 200
+                    self._reply(400, f"expected uint8 pixels, got "
+                                     f"{obs.dtype}".encode(), "text/plain")
+                    return
+            except Exception as e:  # malformed payload: the client's fault
+                self._reply(400, str(e).encode(), "text/plain")
+                return
+            try:
                 with lock:
                     states = encoder.encode(obs)
                 buf = io.BytesIO()
                 np.save(buf, np.asarray(states, np.float32))
                 self._reply(200, buf.getvalue())
-            except Exception as e:
+            except ValueError as e:  # bad shape/batch size: client error
                 self._reply(400, str(e).encode(), "text/plain")
+            except Exception as e:  # encoder/backend failure: OUR fault —
+                self._reply(500, str(e).encode(), "text/plain")  # let LBs see it
 
     return Handler
 

@@ -52,6 +52,19 @@ def test_serve_encode_round_trip(synthetic_dataset, tmp_path):
         except urllib.error.HTTPError as e:
             raised = e.code == 400
         assert raised
+
+        # float payload -> 400 with a dtype message, NOT silently-truncated
+        # garbage states with a 200 (review r2)
+        fbuf = io.BytesIO()
+        np.save(fbuf, np.asarray(ds.frames[:2], np.float32) / 255.0)
+        freq = urllib.request.Request(f"{base}/encode", data=fbuf.getvalue(),
+                                      method="POST")
+        try:
+            urllib.request.urlopen(freq, timeout=30)
+            code, msg = 200, ""
+        except urllib.error.HTTPError as e:
+            code, msg = e.code, e.read().decode()
+        assert code == 400 and "uint8" in msg
     finally:
         server.shutdown()
         server.server_close()
