@@ -83,7 +83,8 @@ def _make_setup(batch_size: int, img: int, state_dim: int,
         if not cached:
             b["obs"] = nprng.randint(0, 255, (batch_size, img, img, 3),
                                      dtype=np.uint8)
-            if "priors" in losses or "vae" in losses:
+            from srl_zoo_tpu.config import NEXT_STATE_LOSSES
+            if any(n in losses.split("+") for n in NEXT_STATE_LOSSES):
                 b["next_obs"] = b["obs"]
         host_batches.append(b)
     return train_step, train_epoch, state, cache, host_batches, mesh

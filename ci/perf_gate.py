@@ -77,7 +77,14 @@ def main(argv=None) -> int:
 
     if args.current:
         with open(args.current) as f:
-            cur_doc = json.loads(f.read().strip().splitlines()[-1])
+            text = f.read()
+        try:
+            # whole-file JSON: a driver BENCH_r*.json (pretty-printed,
+            # multi-line — extract_value handles its 'tail' wrapper)
+            cur_doc = json.loads(text)
+        except json.JSONDecodeError:
+            # raw bench stdout: the JSON line is the last line
+            cur_doc = json.loads(text.strip().splitlines()[-1])
     else:
         import jax
         if jax.devices()[0].platform not in ("tpu", "axon"):
