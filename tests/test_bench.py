@@ -28,13 +28,18 @@ def test_perf_gate_paths(tmp_path):
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     gate = os.path.join(repo, "ci", "perf_gate.py")
-    baseline = os.path.join(repo, "BENCH_r01.json")
-    if not os.path.exists(baseline):
+    # the gate compares against the NEWEST BENCH_r*.json — derive base_val
+    # the same way, or the band assertions drift as rounds accumulate
+    sys.path.insert(0, os.path.join(repo, "ci"))
+    try:
+        import perf_gate
+    finally:
+        sys.path.pop(0)
+    base = perf_gate.latest_baseline()
+    if base is None:
         import pytest
         pytest.skip("no BENCH_r*.json baseline in this checkout")
-    base_val = json.loads([l for l in
-                           json.load(open(baseline))["tail"].splitlines()
-                           if l.startswith("{")][-1])["value"]
+    base_val = perf_gate.extract_value(base[1])
 
     def run(value):
         cur = tmp_path / "cur.json"

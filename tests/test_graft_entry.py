@@ -9,6 +9,7 @@ import sys
 
 import jax
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -39,6 +40,7 @@ def test_dryrun_multichip_in_process():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_hermetic_in_driver_env():
     """Simulate the driver environment exactly: JAX_PLATFORMS pointing at a
     non-CPU platform and NO xla_force_host_platform_device_count.  The dryrun
@@ -56,6 +58,7 @@ def test_dryrun_multichip_hermetic_in_driver_env():
     assert "epoch scan OK" in proc.stdout
 
 
+@pytest.mark.slow
 def test_dryrun_after_entry_same_process():
     """The driver may run the single-chip compile check and the multichip
     dryrun in ONE process: after entry() initialized a (possibly non-CPU)

@@ -41,6 +41,23 @@ def _run_train(data_folder, log_folder, n_devices, extra, timeout=600,
                             stderr=subprocess.STDOUT), timeout
 
 
+
+
+def _drain_pair(p0, p1, timeout):
+    """communicate() both ranks; on failure/timeout kill the sibling so no
+    orphan keeps the coordinator port (a hung rank otherwise blocks the
+    other's communicate for its full timeout)."""
+    try:
+        out0, _ = p0.communicate(timeout=timeout)
+        out1, _ = p1.communicate(timeout=timeout)
+        return out0, out1
+    finally:
+        for p in (p0, p1):
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
+
+
 def _best_val(output: str) -> float:
     for line in output.splitlines():
         if "Best validation loss:" in line:
@@ -66,8 +83,7 @@ def test_two_process_training_matches_single_process(tmp_path):
     log = str(tmp_path / "multi")
     p0, to = _run_train(data, log, 4, dist + ["--process-id", "0"])
     p1, _ = _run_train(data, log, 4, dist + ["--process-id", "1"])
-    out0, _ = p0.communicate(timeout=to)
-    out1, _ = p1.communicate(timeout=to)
+    out0, out1 = _drain_pair(p0, p1, to)
     assert p0.returncode == 0, out0[-2000:]
     assert p1.returncode == 0, out1[-2000:]
 
@@ -75,8 +91,11 @@ def test_two_process_training_matches_single_process(tmp_path):
     v0, v1 = _best_val(out0), _best_val(out1)
     assert v0 == v1, (v0, v1)
     # ...and the 2-process global batch assembly matches single-process
-    # training bit-for-bit up to collective reduction order
-    np.testing.assert_allclose(v0, _best_val(out_single), rtol=1e-4)
+    # training bit-for-bit up to collective reduction order. The prints we
+    # parse carry 4 decimals, so allow one quantum of rounding on top of
+    # the ~1e-6 reduction-order noise.
+    np.testing.assert_allclose(v0, _best_val(out_single), rtol=1e-4,
+                               atol=2e-4)
 
     # process 0 owns the artifacts; process 1 wrote to its scratch folder
     assert os.path.exists(os.path.join(log, "states_rewards.npz"))
@@ -102,8 +121,7 @@ def test_two_process_cached_scan(tmp_path):
                         cache="on")
     p1, _ = _run_train(data, log, 4, dist + ["--process-id", "1"],
                        cache="on")
-    out0, _ = p0.communicate(timeout=to)
-    out1, _ = p1.communicate(timeout=to)
+    out0, out1 = _drain_pair(p0, p1, to)
     assert p0.returncode == 0, out0[-2000:]
     assert p1.returncode == 0, out1[-2000:]
     assert "Caching dataset in HBM" in out0
@@ -158,7 +176,7 @@ def test_sharded_store_gather_across_processes(tmp_path):
                               stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT)
              for i in range(2)]
-    outs = [p.communicate(timeout=300)[0] for p in procs]
+    outs = _drain_pair(procs[0], procs[1], 300)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
         assert "gather across processes OK" in out

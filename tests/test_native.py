@@ -96,11 +96,10 @@ def test_loader_uses_native_jpeg_path(tmp_path, rng):
                           - raw[:, :, ::-1].astype(int))) < 8
 
 
+@pytest.mark.skipif(not native.available(), reason="no native lib")
 def test_resize_batch_rejects_degenerate_geometry():
     """The C resize reports bad dims; the wrapper must raise instead of
     returning an uninitialized buffer (review r2)."""
-    if native.get_lib() is None:
-        pytest.skip("native lib unavailable")
     bad = np.zeros((1, 0, 5, 3), np.uint8)  # sh == 0
     with pytest.raises(ValueError):
         native.resize_batch(bad, 4, 4)

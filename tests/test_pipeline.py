@@ -144,9 +144,27 @@ def test_pipeline_exp_config(ds_folder, tmp_path, monkeypatch):
     # the seeds key took effect: multi-seed aggregate with mean/std rows
     assert results[0]["seeds"] == [1, 2]
     assert "knn_mse_std" in results[0] and "images_per_sec_std" in results[0]
-    # report was written incrementally (exists even before main returned)
     assert os.path.exists(tmp_path / "logs" / os.path.basename(ds_folder)
                           / "pipeline_report.json")
+
+
+def test_pipeline_report_survives_failed_cell(ds_folder, tmp_path,
+                                              monkeypatch):
+    """The report is rewritten after every grid cell, so a crash in a later
+    cell keeps the completed cells' summary (review r2)."""
+    monkeypatch.chdir(tmp_path)
+    grid = {"data-folder": ds_folder,
+            "losses": [["autoencoder"], ["not_a_loss"]],
+            "state-dims": [4], "epochs": 1, "batch-size": 8}
+    cfg_path = tmp_path / "grid.json"
+    cfg_path.write_text(json.dumps(grid))
+    import pipeline as pipeline_cli
+    with pytest.raises(ValueError, match="Unknown loss"):
+        pipeline_cli.main(["--exp-config", str(cfg_path), "--no-grids"])
+    report = (tmp_path / "logs" / os.path.basename(ds_folder)
+              / "pipeline_report.json")
+    saved = json.loads(report.read_text())
+    assert len(saved) == 1 and saved[0]["losses"] == ["autoencoder"]
 
 
 def test_synthetic_kuka_task(tmp_path):
@@ -217,7 +235,6 @@ def test_plot_every_live_view(tmp_path, monkeypatch):
     """--plot-every writes per-epoch plots plus the live view artifacts
     (latest.png + auto-refreshing live.html — the headless equivalent of the
     reference's interactive matplotlib mode)."""
-    import os
 
     from srl_zoo_tpu.data.synthetic import generate_dataset
     from train import main as train_main
@@ -241,7 +258,6 @@ def test_plot_every_live_view(tmp_path, monkeypatch):
 def test_train_cli_no_validation_split(tmp_path, monkeypatch):
     """--val-size 0: no val loader; best-model selection falls back to train
     metrics and the export contract still holds."""
-    import os
 
     from srl_zoo_tpu.data.synthetic import generate_dataset
     from train import main as train_main

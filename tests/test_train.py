@@ -401,7 +401,6 @@ def test_bucket_padding_reuses_compiled_program(synthetic_dataset, tmp_path):
 def test_tensorboard_events_opt_in(synthetic_dataset, tmp_path, monkeypatch):
     """SRL_ZOO_TENSORBOARD=1 writes TB event files next to the jsonl/npz
     artifacts; default off."""
-    import os
 
     monkeypatch.setenv("SRL_ZOO_TENSORBOARD", "1")
     cfg = _cfg(synthetic_dataset, tmp_path, epochs=1)
