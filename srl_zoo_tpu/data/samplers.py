@@ -80,8 +80,12 @@ def episode_prior_pairs(episode_ids: np.ndarray, rng: np.random.RandomState
     want_same = rng.rand(b) < 0.5
     same_choice, same_ok = _sample_true_per_row(same, rng)
     diff_choice, diff_ok = _sample_true_per_row(diff, rng)
-    any_choice, _ = _sample_true_per_row(
-        ~np.eye(b, dtype=bool), rng)
+    # a row with neither a same- nor a different-episode partner exists only
+    # at b == 1 — don't pay a third O(B^2) pass for it on real batches
+    if b > 1:
+        any_choice = np.zeros(b, np.int64)
+    else:
+        any_choice, _ = _sample_true_per_row(~np.eye(b, dtype=bool), rng)
 
     use_same = (want_same & (same_ok > 0)) | (diff_ok == 0)
     partners = np.where(use_same & (same_ok > 0), same_choice,
@@ -125,6 +129,10 @@ def balanced_reward_indices(indices: np.ndarray, reward_classes: np.ndarray,
     for c in uniq:
         pool = indices[classes == c]
         out.append(rng.choice(pool, size=n_per, replace=len(pool) < n_per))
-    out = np.concatenate(out)[: len(indices)]
+    out = np.concatenate(out)
+    # shuffle BEFORE truncating: truncating the class-ordered concatenation
+    # would drop rows exclusively from the last (highest-id) class, biasing
+    # the "equal counts" guarantee against it every epoch
     rng.shuffle(out)
+    out = out[: len(indices)]
     return out.astype(np.int32)

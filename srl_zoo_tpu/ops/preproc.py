@@ -65,8 +65,11 @@ def occlude(key: jax.Array, obs: jnp.ndarray,
     side_h = jnp.asarray(h * jnp.sqrt(occlusion_percentage), jnp.int32)
     side_w = jnp.asarray(w * jnp.sqrt(occlusion_percentage), jnp.int32)
     ky, kx = jax.random.split(key)
-    y0 = jax.random.randint(ky, (b, 1, 1), 0, jnp.maximum(h - side_h, 1))
-    x0 = jax.random.randint(kx, (b, 1, 1), 0, jnp.maximum(w - side_w, 1))
+    # maxval is EXCLUSIVE: h - side_h + 1 lets the patch reach the bottom/
+    # right edge, otherwise border pixels are systematically never occluded
+    # (a positional shortcut the denoiser could exploit)
+    y0 = jax.random.randint(ky, (b, 1, 1), 0, jnp.maximum(h - side_h + 1, 1))
+    x0 = jax.random.randint(kx, (b, 1, 1), 0, jnp.maximum(w - side_w + 1, 1))
     rows = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
     inside = ((rows >= y0) & (rows < y0 + side_h)
