@@ -12,17 +12,13 @@ models/modules.py SRLModulesSplit).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 
 from srl_zoo_tpu.config import SRLConfig
 from srl_zoo_tpu.losses import functions as F
-
-
-def _sl(x: jnp.ndarray, sl: Tuple[int, int]) -> jnp.ndarray:
-    start, size = sl
-    return x[..., start:start + size]
+from srl_zoo_tpu.models.srl_modules import slice_state as _sl
 
 
 def compute_total_loss(cfg: SRLConfig,
@@ -95,7 +91,12 @@ def compute_total_loss(cfg: SRLConfig,
                                           batch["reward_classes"], valid))
     if "triplet" in weights:
         sl = slices["triplet"]
-        add("triplet", F.triplet_loss(_sl(state, sl),
+        # anchor uses the DETERMINISTIC embedding (mu): pos/neg states are mu
+        # (srl_modules encodes them without reparameterization), so an
+        # anchor drawn as z = mu + sigma*eps under an active VAE would put
+        # sampling noise on one branch of every distance — d(a,p) > 0 even
+        # for a perfect embedding. mu == state whenever the VAE is off.
+        add("triplet", F.triplet_loss(_sl(outputs["mu"], sl),
                                       _sl(outputs["pos_state"], sl),
                                       _sl(outputs["neg_state"], sl),
                                       valid=valid))

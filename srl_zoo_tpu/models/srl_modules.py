@@ -30,8 +30,13 @@ from srl_zoo_tpu.models.heads import (Discriminator, ForwardModel,
 
 
 def slice_state(state: jnp.ndarray, sl) -> jnp.ndarray:
+    """The SRL-splits slice: (start, size) of the last axis. Bounds are
+    static (from config), so plain basic indexing compiles to a free XLA
+    slice. THE one slice helper — losses/registry.py and
+    training/train_step.py import it so routing semantics can never
+    diverge."""
     start, size = sl
-    return jax.lax.dynamic_slice_in_dim(state, start, size, axis=-1)
+    return state[..., start:start + size]
 
 
 class SRLModules(nn.Module):
@@ -131,8 +136,8 @@ class SRLModules(nn.Module):
 
         if next_obs is not None:
             next_mu, next_logvar = self._encode_raw(next_obs, train)
-            next_state = self._reparameterize(next_mu, next_logvar, train)
-            out["next_mu"], out["next_state"] = next_mu, next_state
+            out["next_state"] = self._reparameterize(next_mu, next_logvar,
+                                                     train)
 
         if cfg.use_decoder:
             out["recon"] = self.decoder(slice_state(state, self.recon_slice),

@@ -26,14 +26,9 @@ import optax
 
 from srl_zoo_tpu.config import SRLConfig
 from srl_zoo_tpu.losses.registry import compute_total_loss
-from srl_zoo_tpu.models.srl_modules import SRLModules
+from srl_zoo_tpu.models.srl_modules import SRLModules, slice_state as _slice_cols
 from srl_zoo_tpu.ops.preproc import normalize_images, occlude
 from srl_zoo_tpu.training.state import TrainState
-
-
-def _slice_cols(x: jnp.ndarray, sl) -> jnp.ndarray:
-    start, size = sl
-    return x[..., start:start + size]
 
 
 def build_steps(cfg: SRLConfig, model: SRLModules, tx,
