@@ -117,14 +117,8 @@ class DataLoader:
         return native.resize_batch(imgs, h, w)
 
     def _resolve(self, rel: str) -> str:
-        # Reference paths may be relative to the dataset folder or to its
-        # parent ("data/<dataset>/record_x/..."); accept both.
-        for base in (self.ds.data_folder,
-                     os.path.dirname(self.ds.data_folder.rstrip("/"))):
-            p = os.path.join(base, rel)
-            if os.path.exists(p):
-                return p
-        return rel
+        from srl_zoo_tpu.data.schema import resolve_image_path
+        return resolve_image_path(self.ds.data_folder, rel)
 
     def _observation(self, idx: np.ndarray) -> np.ndarray:
         """3-channel (or 6-channel stacked multi-view) uint8 observation."""
@@ -190,7 +184,13 @@ class DataLoader:
         return idx
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        rng = np.random.RandomState(self.seed + self._epoch)
+        # Eval loaders (shuffle=False) keep a FIXED rng across epochs so
+        # priors/triplet/episode pair draws are identical every validation
+        # pass — otherwise best-val selection would compare losses over
+        # different pair sets (pure sampling noise). Train loaders re-draw
+        # per epoch, as the reference resamples pairs each epoch.
+        rng = np.random.RandomState(
+            self.seed + (self._epoch if self.shuffle else 0))
         self._epoch += 1
         order = self._epoch_indices(rng)
         b = self.cfg.batch_size
@@ -224,23 +224,42 @@ class DataLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self._max_queue or self.prefetch)
         err = []
+        stop = threading.Event()  # set when the consumer abandons iteration
+
+        def _put(item) -> bool:
+            """Bounded put that gives up once the consumer is gone — a plain
+            q.put would block forever on a full queue, leaking the thread
+            and its queued image batches."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for idx, valid in batches_idx:
-                    q.put(self._make_batch(idx, valid, rng))
+                    if stop.is_set():
+                        return
+                    if not _put(self._make_batch(idx, valid, rng)):
+                        return
             except Exception as e:  # surface loader errors to the consumer
                 err.append(e)
             finally:
-                q.put(_SENTINEL)
+                _put(_SENTINEL)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                break
-            yield item
-        t.join()
-        if err:
-            raise err[0]
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    break
+                yield item
+            t.join()
+            if err:
+                raise err[0]
+        finally:
+            stop.set()  # no-op on clean exhaustion; unblocks on abandonment

@@ -72,6 +72,18 @@ class Dataset:
         return np.nonzero(valid)[0].astype(np.int32)
 
 
+def resolve_image_path(data_folder: str, rel: str) -> str:
+    """Resolve a recorded image path: reference datasets store paths relative
+    either to the dataset folder or to its parent ("data/<ds>/record_x/...").
+    THE one resolver — loader, preprocessing and KNN grids all use it so the
+    accepted layouts can never diverge."""
+    for base in (data_folder, os.path.dirname(data_folder.rstrip("/"))):
+        p = os.path.join(base, rel)
+        if os.path.exists(p):
+            return p
+    return rel
+
+
 def discretize_rewards(rewards: np.ndarray) -> np.ndarray:
     """Map raw rewards to contiguous class ids 0..K-1 by sorted unique value.
 

@@ -211,3 +211,55 @@ def test_record_multiview_to_triplet_training(tmp_path):
                     n_actions=4, log_folder=str(tmp_path / "run"))
     metrics = SRL4robotics(cfg, log_folder=cfg.log_folder).learn(ds)
     assert np.isfinite(metrics["total"])
+
+
+def test_eval_loader_pairs_fixed_across_epochs(synthetic_dataset):
+    """shuffle=False (eval) loaders must draw IDENTICAL pair partners every
+    epoch — otherwise best-val selection compares losses over different
+    pair sets (review r2). Train loaders still re-draw per epoch."""
+    ds = synthetic_dataset
+    cfg = SRLConfig(state_dim=4, img_height=32, img_width=32, batch_size=16,
+                    epochs=1, losses=(("priors", 1.0),),
+                    split_dims=(("priors", -1),),
+                    n_actions=ds.n_actions,
+                    n_reward_classes=ds.n_reward_classes,
+                    data_folder=ds.data_folder)
+    idx = ds.training_indices()[:16]
+    ev = DataLoader(ds, idx, cfg, shuffle=False, seed=3, wraparound=False,
+                    emit_images=False)
+    a = [b["same_action_partners"] for b in ev]
+    b = [b["same_action_partners"] for b in ev]
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    tr = DataLoader(ds, ds.training_indices(), cfg, shuffle=True, seed=3,
+                    wraparound=True, emit_images=False)
+    e1 = np.concatenate([b["indices"] for b in tr])
+    e2 = np.concatenate([b["indices"] for b in tr])
+    assert not np.array_equal(e1, e2)  # train epochs still reshuffle
+
+
+def test_abandoned_iteration_does_not_leak_producer(synthetic_dataset):
+    """Breaking out of a loader mid-epoch must unblock the producer thread
+    (it used to stay parked in q.put forever — review r2)."""
+    import threading
+    import time as _time
+
+    ds = synthetic_dataset
+    cfg = SRLConfig(state_dim=4, img_height=32, img_width=32, batch_size=4,
+                    epochs=1, losses=(("autoencoder", 1.0),),
+                    split_dims=(("autoencoder", -1),),
+                    n_actions=ds.n_actions,
+                    n_reward_classes=ds.n_reward_classes,
+                    data_folder=ds.data_folder)
+    loader = DataLoader(ds, ds.training_indices(), cfg, shuffle=False,
+                        seed=0, wraparound=False, emit_images=True,
+                        prefetch=1)
+    assert len(loader) > 3
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # abandon mid-epoch; generator finally sets the stop flag
+    deadline = _time.time() + 5.0
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before
