@@ -75,8 +75,10 @@ def save_train_state(log_folder: str, state: TrainState,
         # persisted so a resumed run keeps selecting against the pre-crash
         # best instead of overwriting srl_model.msgpack on its first epoch
         meta["best_val"] = float(best_val)
-    with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:
+    meta_path = os.path.join(ckpt_dir, "meta.json")
+    with open(meta_path + ".tmp", "w") as f:
         json.dump(meta, f)
+    os.replace(meta_path + ".tmp", meta_path)  # atomic, like the state file
     return path
 
 
@@ -84,8 +86,11 @@ def load_meta(log_folder: str) -> dict:
     path = os.path.join(log_folder, RESUME_DIR, "meta.json")
     if not os.path.exists(path):
         return {}
-    with open(path) as f:
-        return json.load(f)
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return {}  # torn/unreadable meta must not break crash recovery
 
 
 def restore_train_state(log_folder: str, template: TrainState

@@ -159,8 +159,10 @@ class SRL4robotics:
         if cfg.device_cache == "off":
             self._cache_hot_n = None
             return None
-        key = id(dataset)
-        if self._cache_key == key:
+        # identity check against a RETAINED reference: a bare id() key could
+        # be recycled by a new Dataset allocated at the freed address and
+        # silently serve the previous dataset's pixels
+        if self._cache_key is dataset:
             return self._cache
         # triplet gathers the second view for positives even without
         # --multi-view (ADVICE r1) — the cache must then carry frames_2
@@ -210,7 +212,7 @@ class SRL4robotics:
                     printYellow(f"HBM budget holds only {hot_n} frames "
                                 f"(< 2x batch size) — streaming instead")
                 self._cache = None
-        self._cache_key = key
+        self._cache_key = dataset
         return self._cache
 
     def _split_hot_cold(self, indices: np.ndarray, for_encode: bool = False):
@@ -417,19 +419,7 @@ class SRL4robotics:
                 profiling = False
 
             if val_phases:
-                vacc = []
-                for loader, use_cache in val_phases:
-                    if use_cache:
-                        stacked = _stack_batches(list(loader))
-                        sharded = shard_stacked_batch(stacked, self.mesh)
-                        vacc.append(self.eval_epoch(self.state, sharded,
-                                                    eval_rng, cache))
-                    else:
-                        for batch in loader:
-                            sharded = shard_batch(batch, self.mesh)
-                            vacc.append(self.eval_step(self.state, sharded,
-                                                       eval_rng, None))
-                val_metrics = _mean_metrics(vacc)
+                val_metrics = self._run_eval(val_phases, cache, eval_rng)
             else:
                 val_metrics = train_metrics
 
@@ -473,8 +463,29 @@ class SRL4robotics:
         ckpt_writer.close()  # flush pending writes (incl. the best model)
         logger.save_history()
         logger.close()
+        if not val_metrics:
+            # resumed an already-finished run (epoch loop skipped): honor the
+            # "returns final val metrics" contract by evaluating the exported
+            # weights once
+            val_metrics = self._run_eval(val_phases or train_phases, cache,
+                                         eval_rng)
         printGreen(f"Best validation loss: {best_val:.4f}")
         return val_metrics
+
+    def _run_eval(self, phases, cache, rng) -> Dict[str, float]:
+        """One masked-exact eval pass over the given loader phases."""
+        vacc = []
+        for loader, use_cache in phases:
+            if use_cache:
+                stacked = _stack_batches(list(loader))
+                sharded = shard_stacked_batch(stacked, self.mesh)
+                vacc.append(self.eval_epoch(self.state, sharded, rng, cache))
+            else:
+                for batch in loader:
+                    sharded = shard_batch(batch, self.mesh)
+                    vacc.append(self.eval_step(self.state, sharded, rng,
+                                               None))
+        return _mean_metrics(vacc)
 
     # ---- inference / export ----------------------------------------------------
     def predict_states(self, dataset: Dataset,

@@ -461,3 +461,21 @@ def test_resume_after_completion_keeps_best_model(synthetic_dataset,
         == epochs_before
     # the pre-crash best val survives in the checkpoint meta
     assert ckpt.load_meta(str(run)).get("best_val") is not None
+
+
+def test_resume_finished_run_returns_metrics(synthetic_dataset, tmp_path):
+    """learn(resume=True) on an already-finished run must still honor the
+    'returns final val metrics' contract (review r2: it returned {})."""
+    cfg = _cfg(synthetic_dataset, tmp_path, epochs=1)
+    SRL4robotics(cfg, log_folder=cfg.log_folder).learn(synthetic_dataset)
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    metrics = learner.learn(synthetic_dataset, resume=True)
+    assert np.isfinite(metrics["total"])
+
+
+def test_load_meta_tolerates_torn_file(tmp_path):
+    from srl_zoo_tpu.training import checkpoint as ckpt
+    d = tmp_path / "run" / "checkpoints"
+    d.mkdir(parents=True)
+    (d / "meta.json").write_text('{"step": 5, "best_')  # torn write
+    assert ckpt.load_meta(str(tmp_path / "run")) == {}
