@@ -37,6 +37,10 @@ def knn_mse(learned_states: np.ndarray, ground_truth_states: np.ndarray,
     learned = np.asarray(learned_states, np.float32)
     gt = np.asarray(ground_truth_states, np.float32)
     n = len(learned)
+    if n < 2:
+        raise ValueError("knn_mse needs at least 2 samples")
+    # tiny debug datasets: at most n-1 non-self neighbors exist
+    k = min(k, n - 1)
     if n_samples is not None and n_samples < n:
         rng = np.random.RandomState(seed)
         queries = rng.choice(n, size=n_samples, replace=False)
@@ -84,7 +88,8 @@ def save_neighbor_grids(data_folder: str, images_path: np.ndarray,
         ids = [queries[g]] + list(neighbor_idx[g])
         titles = ["query"] + [f"nn{j + 1}" for j in range(k)]
         for ax, i, title in zip(axes, ids, titles):
-            path = os.path.join(data_folder, str(images_path[i]))
+            from srl_zoo_tpu.data.schema import resolve_image_path
+            path = resolve_image_path(data_folder, str(images_path[i]))
             try:
                 ax.imshow(_decode_resize(path, (224, 224)))
             except FileNotFoundError:

@@ -106,3 +106,14 @@ def test_doctor_cli(synthetic_dataset, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "devices:" in out and "frame store:" in out
+
+
+def test_knn_mse_tiny_dataset_clamps_k():
+    """k is clamped to n-1 on debug-size datasets instead of crashing in
+    top_k (review r2)."""
+    from srl_zoo_tpu.evaluation.knn import knn_mse
+    rng = np.random.RandomState(0)
+    s = rng.randn(4, 3).astype(np.float32)
+    gt = rng.randn(4, 2).astype(np.float32)
+    score, queries, nn = knn_mse(s, gt, k=5)
+    assert np.isfinite(score) and nn.shape == (4, 3)
