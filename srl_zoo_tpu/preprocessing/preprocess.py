@@ -115,17 +115,12 @@ def build_frames_cache(data_folder: str, img_size: int = 224,
                                     shape=(n, img_size, img_size, 3))
 
     def work(i):
-        p = os.path.join(data_folder, paths[i])
-        if not os.path.exists(p):
-            p = os.path.join(os.path.dirname(data_folder.rstrip("/")), paths[i])
-        img = cv2.imread(p, cv2.IMREAD_COLOR)
-        if img is None:
-            raise FileNotFoundError(p)
-        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-        if img.shape[:2] != (img_size, img_size):
-            img = cv2.resize(img, (img_size, img_size),
-                             interpolation=cv2.INTER_AREA)
-        out[i] = img
+        # same resolver + decode as the streaming loader, so the frames.npy
+        # cache is bit-identical to what streaming would decode
+        from srl_zoo_tpu.data.loader import _decode_resize
+        from srl_zoo_tpu.data.schema import resolve_image_path
+        out[i] = _decode_resize(resolve_image_path(data_folder, paths[i]),
+                                (img_size, img_size))
 
     with ThreadPoolExecutor(max_workers=min(16, (os.cpu_count() or 1) * 4)) as ex:
         list(ex.map(work, range(n)))
@@ -150,15 +145,29 @@ def main(argv=None):
     else:
         printYellow("preprocessed_data.npz already present — skipping "
                     "episode concatenation")
+    def _cache_stale(path: str) -> bool:
+        """Rebuild when missing OR recorded at a different resolution — a
+        silently kept wrong-size frames.npy disables the HBM device cache
+        (device_cache.fits rejects it) and training falls back to
+        host-link streaming with no hint why."""
+        if not os.path.exists(path):
+            return True
+        shape = np.load(path, mmap_mode="r").shape
+        if shape[1:3] != (args.img_size, args.img_size):
+            printYellow(f"{os.path.basename(path)} is {shape[1]}x{shape[2]} "
+                        f"but --img-size is {args.img_size} — rebuilding")
+            return True
+        return False
+
     if not args.no_frames_cache and \
-            not os.path.exists(os.path.join(args.data_folder, "frames.npy")):
+            _cache_stale(os.path.join(args.data_folder, "frames.npy")):
         build_frames_cache(args.data_folder, args.img_size)
     has_view2 = args.multi_view
     gt_path = os.path.join(args.data_folder, "ground_truth.npz")
     if not has_view2 and os.path.exists(gt_path):
         has_view2 = "images_path_2" in np.load(gt_path, allow_pickle=True)
-    if has_view2 and \
-            not os.path.exists(os.path.join(args.data_folder, "frames_2.npy")):
+    if has_view2 and not args.no_frames_cache and \
+            _cache_stale(os.path.join(args.data_folder, "frames_2.npy")):
         build_frames_cache(args.data_folder, args.img_size, view_suffix="_2")
 
 
