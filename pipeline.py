@@ -28,6 +28,7 @@ from srl_zoo_tpu.utils import parseDataFolder, printGreen, printRed, printYellow
 def check_dataset(data_folder: str, img_size: int) -> None:
     """Validate / build the dataset npz schema (preprocess stage)."""
     from srl_zoo_tpu.preprocessing.preprocess import (build_frames_cache,
+                                                      frames_cache_stale,
                                                       preprocess_folder)
     if not os.path.isdir(data_folder):
         raise FileNotFoundError(
@@ -36,7 +37,9 @@ def check_dataset(data_folder: str, img_size: int) -> None:
     if not os.path.exists(os.path.join(data_folder, "preprocessed_data.npz")):
         printYellow("preprocessed_data.npz missing — running preprocessing")
         preprocess_folder(data_folder)
-    if not os.path.exists(os.path.join(data_folder, "frames.npy")):
+    # same staleness rule as the preprocess CLI: a wrong-resolution
+    # frames.npy would silently disable the HBM cache for the whole grid
+    if frames_cache_stale(os.path.join(data_folder, "frames.npy"), img_size):
         try:
             build_frames_cache(data_folder, img_size)
         except Exception as e:  # jpg-less synthetic datasets keep working

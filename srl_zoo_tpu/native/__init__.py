@@ -30,13 +30,22 @@ def _build() -> bool:
     src = os.path.join(_SRC_DIR, "srlhost.cpp")
     if not os.path.exists(src):
         return False
+    # Link to a per-process temp path, then atomically rename: multiple
+    # ranks on one host may rebuild concurrently (stale-mtime check), and a
+    # linker truncating the .so another rank just dlopen'd would SIGBUS it.
+    tmp = f"{_SO_PATH}.{os.getpid()}.tmp"
     try:
         subprocess.run(
             ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
-             "-o", _SO_PATH, src, "-ljpeg", "-lpthread"],
+             "-o", tmp, src, "-ljpeg", "-lpthread"],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO_PATH)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 

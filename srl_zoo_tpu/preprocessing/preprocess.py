@@ -99,6 +99,22 @@ def preprocess_folder(data_folder: str) -> None:
                f"{', multi-view' if images_2 else ''})")
 
 
+def frames_cache_stale(path: str, img_size: int) -> bool:
+    """Rebuild when missing OR recorded at a different resolution — a
+    silently kept wrong-size frames.npy disables the HBM device cache
+    (device_cache.fits rejects it) and training falls back to host-link
+    streaming with no hint why. Shared by the preprocess CLI and
+    pipeline.check_dataset so both entry points agree."""
+    if not os.path.exists(path):
+        return True
+    shape = np.load(path, mmap_mode="r").shape
+    if shape[1:3] != (img_size, img_size):
+        printYellow(f"{os.path.basename(path)} is {shape[1]}x{shape[2]} "
+                    f"but --img-size is {img_size} — rebuilding")
+        return True
+    return False
+
+
 def build_frames_cache(data_folder: str, img_size: int = 224,
                        view_suffix: str = "") -> str:
     """Decode every dataset image once into ``frames{suffix}.npy``
@@ -111,7 +127,11 @@ def build_frames_cache(data_folder: str, img_size: int = 224,
     paths = np.asarray(gt[key]).astype(str)
     out_path = os.path.join(data_folder, f"frames{view_suffix}.npy")
     n = len(paths)
-    out = np.lib.format.open_memmap(out_path, mode="w+", dtype=np.uint8,
+    # build into a temp file and rename on success: a failed rebuild (e.g.
+    # a resolution-mismatch rebuild on a dataset whose source JPEGs are
+    # gone) must never destroy a previously good frames.npy
+    tmp_path = f"{out_path}.{os.getpid()}.tmp"
+    out = np.lib.format.open_memmap(tmp_path, mode="w+", dtype=np.uint8,
                                     shape=(n, img_size, img_size, 3))
 
     def work(i):
@@ -122,9 +142,19 @@ def build_frames_cache(data_folder: str, img_size: int = 224,
         out[i] = _decode_resize(resolve_image_path(data_folder, paths[i]),
                                 (img_size, img_size))
 
-    with ThreadPoolExecutor(max_workers=min(16, (os.cpu_count() or 1) * 4)) as ex:
-        list(ex.map(work, range(n)))
-    out.flush()
+    try:
+        with ThreadPoolExecutor(
+                max_workers=min(16, (os.cpu_count() or 1) * 4)) as ex:
+            list(ex.map(work, range(n)))
+        out.flush()
+        del out  # release the memmap handle before the rename
+        os.replace(tmp_path, out_path)
+    except BaseException:
+        try:  # POSIX: unlink works with the memmap handle still open
+            os.unlink(tmp_path)
+        except OSError:
+            pass
+        raise
     printGreen(f"Wrote {out_path} ({n} frames @ {img_size}x{img_size})")
     return out_path
 
@@ -145,29 +175,18 @@ def main(argv=None):
     else:
         printYellow("preprocessed_data.npz already present — skipping "
                     "episode concatenation")
-    def _cache_stale(path: str) -> bool:
-        """Rebuild when missing OR recorded at a different resolution — a
-        silently kept wrong-size frames.npy disables the HBM device cache
-        (device_cache.fits rejects it) and training falls back to
-        host-link streaming with no hint why."""
-        if not os.path.exists(path):
-            return True
-        shape = np.load(path, mmap_mode="r").shape
-        if shape[1:3] != (args.img_size, args.img_size):
-            printYellow(f"{os.path.basename(path)} is {shape[1]}x{shape[2]} "
-                        f"but --img-size is {args.img_size} — rebuilding")
-            return True
-        return False
-
     if not args.no_frames_cache and \
-            _cache_stale(os.path.join(args.data_folder, "frames.npy")):
+            frames_cache_stale(os.path.join(args.data_folder, "frames.npy"),
+                               args.img_size):
         build_frames_cache(args.data_folder, args.img_size)
     has_view2 = args.multi_view
     gt_path = os.path.join(args.data_folder, "ground_truth.npz")
     if not has_view2 and os.path.exists(gt_path):
         has_view2 = "images_path_2" in np.load(gt_path, allow_pickle=True)
     if has_view2 and not args.no_frames_cache and \
-            _cache_stale(os.path.join(args.data_folder, "frames_2.npy")):
+            frames_cache_stale(
+                os.path.join(args.data_folder, "frames_2.npy"),
+                args.img_size):
         build_frames_cache(args.data_folder, args.img_size, view_suffix="_2")
 
 

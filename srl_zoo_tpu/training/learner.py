@@ -466,9 +466,13 @@ class SRL4robotics:
         if not val_metrics:
             # resumed an already-finished run (epoch loop skipped): honor the
             # "returns final val metrics" contract by evaluating the exported
-            # weights once
-            val_metrics = self._run_eval(val_phases or train_phases, cache,
-                                         eval_rng)
+            # weights once. With --val-size 0 there are no val loaders —
+            # build EVAL-style loaders over the train split (wraparound=False
+            # + masks, per the eval invariant) rather than reusing the
+            # wrapping train loaders, which would double-count fill rows.
+            phases = val_phases or self._make_phase_loaders(
+                dataset, train_idx, cache, shuffle=False, wraparound=False)
+            val_metrics = self._run_eval(phases, cache, eval_rng)
         printGreen(f"Best validation loss: {best_val:.4f}")
         return val_metrics
 

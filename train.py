@@ -209,26 +209,30 @@ def main(argv=None):
                   resume=args.resume, profile=args.profile,
                   checkpoint_every=args.checkpoint_every)
 
-    # ---- export: states for the WHOLE dataset + plots (reference contract) ----
-    states = learner.predict_states(dataset)
-    save_states_rewards(log_folder, states, dataset.rewards)
-    printGreen(f"Saved states_rewards.npz ({states.shape})")
+    try:
+        # ---- export: states for the WHOLE dataset + plots (reference contract)
+        states = learner.predict_states(dataset)
+        save_states_rewards(log_folder, states, dataset.rewards)
+        printGreen(f"Saved states_rewards.npz ({states.shape})")
 
-    plot_representation(states, dataset.rewards,
-                        os.path.join(log_folder, "states.png"))
-    gtc, corr = ground_truth_correlation(states, dataset.ground_truth_states)
-    plot_correlation(corr, os.path.join(log_folder, "correlation.png"))
-    printGreen(f"GTC score: {gtc:.4f}")
-    with open(os.path.join(log_folder, "gtc.txt"), "w") as f:
-        f.write(f"{gtc:.6f}\n")
-
-    if args.num_processes > 1:
-        # Every host must finish its (host-side, unsynchronized) artifact
-        # writing before ANY host enters the atexit jax.distributed shutdown
-        # barrier: a host still rendering plots under load can otherwise miss
-        # the barrier deadline and poison the whole cluster's exit.
-        from jax.experimental import multihost_utils
-        multihost_utils.sync_global_devices("srl_zoo_end_of_run")
+        plot_representation(states, dataset.rewards,
+                            os.path.join(log_folder, "states.png"))
+        gtc, corr = ground_truth_correlation(states,
+                                             dataset.ground_truth_states)
+        plot_correlation(corr, os.path.join(log_folder, "correlation.png"))
+        printGreen(f"GTC score: {gtc:.4f}")
+        with open(os.path.join(log_folder, "gtc.txt"), "w") as f:
+            f.write(f"{gtc:.6f}\n")
+    finally:
+        if args.num_processes > 1:
+            # Every host must finish its (host-side, unsynchronized) artifact
+            # writing before ANY host enters the atexit jax.distributed
+            # shutdown barrier: a host still rendering plots under load can
+            # otherwise miss the barrier deadline and poison the cluster's
+            # exit. In a finally so a host whose EXPORT fails still reaches
+            # the barrier (the healthy hosts would otherwise hang in it).
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("srl_zoo_end_of_run")
     return log_folder
 
 
