@@ -177,6 +177,8 @@ def bench_train_step(batch_size: int, img: int, state_dim: int,
 
 
 def main(argv=None):
+    from srl_zoo_tpu.utils.platform import honor_env_platform
+    honor_env_platform()
     import argparse
 
     import jax

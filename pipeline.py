@@ -104,6 +104,8 @@ def aggregate_seeds(per_seed: list) -> dict:
 
 
 def main(argv=None):
+    from srl_zoo_tpu.utils.platform import honor_env_platform
+    honor_env_platform()
     p = argparse.ArgumentParser(description="SRL experiment pipeline "
                                             "(reference: pipeline.py)")
     p.add_argument("--data-folder", type=str, default="")

@@ -97,6 +97,8 @@ def build_server(log_folder: str, host: str = "127.0.0.1", port: int = 8080,
 
 
 def main(argv=None):
+    from srl_zoo_tpu.utils.platform import honor_env_platform
+    honor_env_platform()
     p = argparse.ArgumentParser(description="Serve a trained SRL encoder")
     p.add_argument("--log-folder", type=str, required=True)
     p.add_argument("--host", type=str, default="127.0.0.1")

@@ -68,6 +68,8 @@ def latent_sweep_grid(cfg: SRLConfig, variables, states: np.ndarray,
 
 
 def main(argv=None) -> str:
+    from srl_zoo_tpu.utils.platform import honor_env_platform
+    honor_env_platform()
     p = argparse.ArgumentParser(description="Decode latent-dimension sweeps "
                                             "(reference: enjoy_latent)")
     p.add_argument("--log-folder", type=str, required=True)

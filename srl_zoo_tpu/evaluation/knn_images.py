@@ -22,6 +22,8 @@ from srl_zoo_tpu.utils import printGreen
 
 
 def main(argv=None) -> float:
+    from srl_zoo_tpu.utils.platform import honor_env_platform
+    honor_env_platform()
     p = argparse.ArgumentParser(description="KNN-MSE evaluation")
     p.add_argument("--log-folder", type=str, required=True)
     p.add_argument("--data-folder", type=str, default="",

@@ -20,6 +20,8 @@ from srl_zoo_tpu.utils import printGreen
 
 
 def main(argv=None) -> str:
+    from srl_zoo_tpu.utils.platform import honor_env_platform
+    honor_env_platform()
     p = argparse.ArgumentParser(description="Predict states for a dataset "
                                             "with a trained model")
     p.add_argument("--log-folder", type=str, required=True)

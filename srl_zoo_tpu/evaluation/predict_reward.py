@@ -36,6 +36,8 @@ def predict_reward_accuracy(states: np.ndarray, rewards: np.ndarray,
 
 
 def main(argv=None) -> float:
+    from srl_zoo_tpu.utils.platform import honor_env_platform
+    honor_env_platform()
     p = argparse.ArgumentParser(description="Train a reward classifier on "
                                             "learned states")
     p.add_argument("--log-folder", type=str, required=True)

@@ -36,6 +36,8 @@ def measure_link_bandwidth(n_mb: int = 16) -> float:
 
 
 def main(argv=None) -> int:
+    from srl_zoo_tpu.utils.platform import honor_env_platform
+    honor_env_platform()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data-folder", type=str, default="")
     p.add_argument("--img-size", type=int, default=224)

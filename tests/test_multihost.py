@@ -86,16 +86,23 @@ def test_two_process_training_matches_single_process(tmp_path):
     out0, out1 = _drain_pair(p0, p1, to)
     assert p0.returncode == 0, out0[-2000:]
     assert p1.returncode == 0, out1[-2000:]
+    # the mesh really is GLOBAL (2 hosts x 4 devices) — this used to pass
+    # vacuously with two independent 1-device TPU runs before
+    # utils/platform.honor_env_platform made JAX_PLATFORMS binding
+    assert "8-device data-parallel mesh" in out0, out0[-2000:]
 
     # every process computed the same (all-reduced) losses...
     v0, v1 = _best_val(out0), _best_val(out1)
     assert v0 == v1, (v0, v1)
     # ...and the 2-process global batch assembly matches single-process
-    # training bit-for-bit up to collective reduction order. The prints we
-    # parse carry 4 decimals, so allow one quantum of rounding on top of
-    # the ~1e-6 reduction-order noise.
-    np.testing.assert_allclose(v0, _best_val(out_single), rtol=1e-4,
-                               atol=2e-4)
+    # training. NOT bit-for-bit: the 2-process SPMD partitioning compiles
+    # different programs whose float reassociation differs, and Adam
+    # amplifies that to ~lr*sign per step (measured ~1e-2 relative after 5
+    # steps once the processes really ran an 8-device gloo mesh). A
+    # mis-assembled global batch (wrong shard order / divergent sampling)
+    # shows up at O(1) relative — 5% still catches it. Cross-RANK equality
+    # stays exact (v0 == v1 above): the all-reduce guarantees it.
+    np.testing.assert_allclose(v0, _best_val(out_single), rtol=5e-2)
 
     # process 0 owns the artifacts; process 1 wrote to its scratch folder
     assert os.path.exists(os.path.join(log, "states_rewards.npz"))
@@ -124,6 +131,7 @@ def test_two_process_cached_scan(tmp_path):
     out0, out1 = _drain_pair(p0, p1, to)
     assert p0.returncode == 0, out0[-2000:]
     assert p1.returncode == 0, out1[-2000:]
+    assert "8-device data-parallel mesh" in out0, out0[-2000:]
     assert "Caching dataset in HBM" in out0
     assert _best_val(out0) == _best_val(out1)
     states = np.load(os.path.join(log, "states_rewards.npz"))["states"]

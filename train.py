@@ -130,6 +130,8 @@ def default_log_folder(dataset_name: str, model_type: str,
 
 
 def main(argv=None):
+    from srl_zoo_tpu.utils.platform import honor_env_platform
+    honor_env_platform()
     from srl_zoo_tpu.utils.compilation_cache import enable_compilation_cache
     enable_compilation_cache()
 
