@@ -512,8 +512,17 @@ class SRL4robotics:
             for batch in loader:
                 key = "indices" if subset_cache is not None else "obs"
                 arg = jax.device_put(batch[key], rep)
-                states = jax.device_get(
-                    self.encode_step(self.state, arg, subset_cache))
+                states_dev = self.encode_step(self.state, arg, subset_cache)
+                if not states_dev.is_fully_addressable:
+                    # multi-process + sharded frame store: the gathered rows
+                    # (and so the states) come back sharded over the GLOBAL
+                    # mesh; device_get cannot fetch remote shards — assemble
+                    # the global array across hosts instead
+                    from jax.experimental import multihost_utils
+                    states = np.asarray(multihost_utils.process_allgather(
+                        states_dev, tiled=True))
+                else:
+                    states = jax.device_get(states_dev)
                 out.append(states[batch["valid"] > 0])
             return np.concatenate(out, axis=0)
 

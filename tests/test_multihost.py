@@ -188,3 +188,31 @@ def test_sharded_store_gather_across_processes(tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
         assert "gather across processes OK" in out
+
+
+@pytest.mark.slow
+def test_two_process_sharded_cache_cli(tmp_path):
+    """--device-cache sharded across processes through the REAL CLI: the
+    frame store sharded over the 2x4-device global mesh, reduce-scatter
+    gathers inside the jitted step (previously only covered by the
+    worker-script test, not the train.py path)."""
+    from srl_zoo_tpu.data.synthetic import generate_dataset
+    data = str(tmp_path / "synth")
+    generate_dataset(data, n_episodes=4, episode_len=24, img_size=32, seed=0)
+
+    port = _free_port()
+    dist = ["--coordinator-address", f"127.0.0.1:{port}",
+            "--num-processes", "2"]
+    log = str(tmp_path / "multi")
+    p0, to = _run_train(data, log, 4, dist + ["--process-id", "0"],
+                        cache="sharded")
+    p1, _ = _run_train(data, log, 4, dist + ["--process-id", "1"],
+                       cache="sharded")
+    out0, out1 = _drain_pair(p0, p1, to)
+    assert p0.returncode == 0, out0[-2000:]
+    assert p1.returncode == 0, out1[-2000:]
+    assert "8-device data-parallel mesh" in out0, out0[-2000:]
+    assert "Sharding dataset over 8 devices" in out0, out0[-2000:]
+    assert _best_val(out0) == _best_val(out1)
+    states = np.load(os.path.join(log, "states_rewards.npz"))["states"]
+    assert np.all(np.isfinite(states))
