@@ -20,12 +20,21 @@ from __future__ import annotations
 import os
 
 
+# The config values an auto-registering plugin leaves behind. Anything ELSE
+# in jax.config.jax_platforms is a deliberate in-process choice (e.g.
+# ci/smoke.sh pins "cpu" before calling train.main()) and must win over the
+# environment — priority: in-process pin > env var > plugin default.
+_PLUGIN_DEFAULTS = ("", None, "axon,cpu", "axon")
+
+
 def honor_env_platform() -> None:
     env = os.environ.get("JAX_PLATFORMS", "").strip()
     if not env:
         return
     import jax
 
+    if jax.config.jax_platforms not in _PLUGIN_DEFAULTS:
+        return  # someone pinned a platform in-process — respect it
     try:
         jax.config.update("jax_platforms", env)
     except RuntimeError:

@@ -42,3 +42,21 @@ def test_unset_env_keeps_host_default():
         cwd=REPO, env=env, capture_output=True, text=True, timeout=300)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "IMPORT_OK" in proc.stdout
+
+
+def test_in_process_pin_beats_env():
+    """Priority: in-process jax.config pin > env var > plugin default —
+    ci/smoke.sh pins cpu before calling train.main() and the ambient host
+    env (axon) must not undo it."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "axon"
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "from srl_zoo_tpu.utils.platform import honor_env_platform; "
+        "honor_env_platform(); "
+        "print('PLATFORM=' + jax.devices()[0].platform)"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "PLATFORM=cpu" in proc.stdout, proc.stdout
