@@ -94,9 +94,12 @@ def plot_correlation(corr: np.ndarray, save_path: Optional[str] = None,
     """Heatmap of the (D_learned, D_gt) correlation matrix
     (reference: plotCorrelation / --correlation)."""
     fig, ax = plt.subplots(figsize=(6, 5))
+    # nearest (not interpolated): gt typically has 2-3 dims, so smoothing
+    # smears the few columns into unreadable gradients
     im = ax.imshow(np.abs(corr), cmap="viridis", vmin=0, vmax=1,
-                   aspect="auto")
+                   aspect="auto", interpolation="nearest")
     ax.set_xlabel("ground-truth dim")
+    ax.set_xticks(np.arange(corr.shape[1]))
     ax.set_ylabel("learned state dim")
     ax.set_title(title)
     fig.colorbar(im, ax=ax, label="|Pearson r|")
