@@ -181,6 +181,15 @@ class SRLConfig:
             raise ValueError(
                 f"Reconstruction losses {recon} require normalize_mode='tf' "
                 "(the decoder's tanh output range); got 'image_net'")
+        # multiple reconstruction losses must decode the SAME state slice
+        # (one decoder): validate at config time, not at model-setup time
+        # (found by the loss-combination fuzz test)
+        recon_slices = {n: self.slices[n] for n in self.loss_names
+                        if n in RECONSTRUCTION_LOSSES}
+        if len(set(recon_slices.values())) > 1:
+            raise ValueError(
+                "Multiple reconstruction losses must share one state slice "
+                f"(got {recon_slices}); give later ones split dim -1")
 
     # ---- derived helpers (all static) -------------------------------------
     @property

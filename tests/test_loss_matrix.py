@@ -223,3 +223,43 @@ def test_bfloat16_compute_end_to_end(synthetic_dataset, tmp_path):
     assert states.dtype == np.float32 and np.all(np.isfinite(states))
     hist = np.load(tmp_path / "bf16" / "loss_history.npz")
     assert hist["train/total"][-1] < hist["train/total"][0]
+
+
+def test_fuzz_random_loss_combinations(synthetic_dataset, tmp_path):
+    """Seeded fuzz over the combinatorial loss space the curated cases can't
+    enumerate: random subsets with random weights and random split dims
+    either train a finite step or raise a clean ValueError at config time —
+    never a trace-time crash."""
+    ds = synthetic_dataset
+    pool = ["autoencoder", "vae", "dae", "priors", "forward", "inverse",
+            "reward", "reward-prior", "episode-prior"]
+    rng = np.random.RandomState(20260817)
+    state_dim = 8
+    ran = 0
+    for trial in range(8):
+        k = rng.randint(1, 4)
+        names = list(rng.choice(pool, size=k, replace=False))
+        losses = tuple((n, float(rng.choice([0.5, 1.0, 2.0]))) for n in names)
+        if rng.rand() < 0.5:
+            split_dims = tuple((n, -1) for n in names)
+        else:
+            # random explicit splits summing to state_dim (config contract)
+            cuts = sorted(rng.choice(np.arange(1, state_dim), size=k - 1,
+                                     replace=False)) if k > 1 else []
+            sizes = np.diff([0] + list(cuts) + [state_dim])
+            split_dims = tuple((n, int(s)) for n, s in zip(names, sizes))
+        try:
+            cfg = SRLConfig(state_dim=state_dim, img_height=32, img_width=32,
+                            batch_size=16, epochs=1, losses=losses,
+                            split_dims=split_dims,
+                            n_actions=ds.n_actions,
+                            n_reward_classes=ds.n_reward_classes,
+                            device_cache="on",
+                            log_folder=str(tmp_path / f"fuzz{trial}"))
+        except ValueError:
+            continue  # clean config-time rejection is a valid outcome
+        learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+        metrics = learner.learn(ds)
+        assert np.isfinite(metrics["total"]), (names, split_dims)
+        ran += 1
+    assert ran >= 4  # the sampler must actually exercise trainable configs
