@@ -40,8 +40,13 @@ def save_srl_model(log_folder: str, params, batch_stats) -> str:
     path = os.path.join(log_folder, MODEL_FILE)
     payload = {"params": jax.device_get(params),
                "batch_stats": jax.device_get(batch_stats)}
-    with open(path, "wb") as f:
+    # atomic: this runs on the background writer thread and the file is read
+    # by resume runs and concurrently running serve.py processes — neither
+    # may ever see a torn write
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "wb") as f:
         f.write(flax.serialization.to_bytes(payload))
+    os.replace(tmp, path)
     return path
 
 
@@ -158,6 +163,10 @@ class AsyncCheckpointer:
         if self._err is not None:
             raise RuntimeError("checkpoint writer failed") from self._err
         with self._lock:
+            if self._stop:
+                # after close() the worker may already be gone — a silently
+                # enqueued job would never be written
+                raise RuntimeError("checkpoint writer already closed")
             self._jobs[kind] = payload
         self._event.set()
 
@@ -174,5 +183,9 @@ class AsyncCheckpointer:
             self._stop = True
         self._event.set()
         self._thread.join(timeout=600)
+        if self._thread.is_alive():
+            # a hung write (dead mount, stuck device_get) must not masquerade
+            # as a successful flush — the checkpoint on disk is stale
+            raise RuntimeError("checkpoint writer did not flush within 600s")
         if self._err is not None:
             raise RuntimeError("checkpoint writer failed") from self._err

@@ -383,66 +383,77 @@ class SRL4robotics:
         step = int(jax.device_get(self.state.step))
         val_metrics: Dict[str, float] = {}
         profiling = False
-        for epoch in range(start_epoch, cfg.epochs):
-            if profile and epoch == start_epoch:
-                jax.profiler.start_trace(
-                    os.path.join(self.log_folder, "profile"))
-                profiling = True
-            t_epoch = time.time()
-            acc = []
-            n_images = 0
-            for loader, use_cache in train_phases:
-                if use_cache:
-                    # whole-epoch lax.scan: one device program, one transfer
-                    stacked = _stack_batches(list(loader))
-                    sharded = shard_stacked_batch(stacked, self.mesh)
-                    self.state, metrics = self.train_epoch(
-                        self.state, sharded, train_rng, cache)
-                    step += int(stacked["step_valid"].sum())
-                    n_images += int(stacked["valid"].sum())
-                    acc.append(metrics)  # (n_steps,) device arrays
+        try:
+            for epoch in range(start_epoch, cfg.epochs):
+                if profile and epoch == start_epoch:
+                    jax.profiler.start_trace(
+                        os.path.join(self.log_folder, "profile"))
+                    profiling = True
+                t_epoch = time.time()
+                acc = []
+                n_images = 0
+                for loader, use_cache in train_phases:
+                    if use_cache:
+                        # whole-epoch lax.scan: one device program, one transfer
+                        stacked = _stack_batches(list(loader))
+                        sharded = shard_stacked_batch(stacked, self.mesh)
+                        self.state, metrics = self.train_epoch(
+                            self.state, sharded, train_rng, cache)
+                        step += int(stacked["step_valid"].sum())
+                        n_images += int(stacked["valid"].sum())
+                        acc.append(metrics)  # (n_steps,) device arrays
+                    else:
+                        # streaming phase (no cache / hybrid cold tail): batches
+                        # carry uint8 pixels, bounded by the host link
+                        for batch in loader:
+                            sharded = shard_batch(batch, self.mesh)
+                            self.state, metrics = self.train_step(
+                                self.state, sharded, train_rng, None)
+                            step += 1
+                            n_images += len(batch["valid"])
+                            acc.append(metrics)  # on device; reduced per epoch
+                train_metrics = _mean_metrics(acc)
+                dt = time.time() - t_epoch
+                ips = n_images / max(dt, 1e-9)
+                if profiling:
+                    jax.profiler.stop_trace()
+                    profiling = False
+
+                if val_phases:
+                    val_metrics = self._run_eval(val_phases, cache, eval_rng)
                 else:
-                    # streaming phase (no cache / hybrid cold tail): batches
-                    # carry uint8 pixels, bounded by the host link
-                    for batch in loader:
-                        sharded = shard_batch(batch, self.mesh)
-                        self.state, metrics = self.train_step(
-                            self.state, sharded, train_rng, None)
-                        step += 1
-                        n_images += len(batch["valid"])
-                        acc.append(metrics)  # on device; reduced per epoch
-            train_metrics = _mean_metrics(acc)
-            dt = time.time() - t_epoch
-            ips = n_images / max(dt, 1e-9)
-            if profiling:
-                jax.profiler.stop_trace()
-                profiling = False
+                    val_metrics = train_metrics
 
-            if val_phases:
-                val_metrics = self._run_eval(val_phases, cache, eval_rng)
-            else:
-                val_metrics = train_metrics
+                logger.log_epoch(epoch, train_metrics, val_metrics)
+                logger.log_step(step, {f"train/{k}": v
+                                       for k, v in train_metrics.items()},
+                                epoch=epoch, images_per_sec=ips)
+                printGreen(f"Epoch {epoch + 1}/{cfg.epochs} "
+                           f"train {train_metrics['total']:.4f} "
+                           f"val {val_metrics['total']:.4f} "
+                           f"({ips:.0f} img/s)")
 
-            logger.log_epoch(epoch, train_metrics, val_metrics)
-            logger.log_step(step, {f"train/{k}": v
-                                   for k, v in train_metrics.items()},
-                            epoch=epoch, images_per_sec=ips)
-            printGreen(f"Epoch {epoch + 1}/{cfg.epochs} "
-                       f"train {train_metrics['total']:.4f} "
-                       f"val {val_metrics['total']:.4f} "
-                       f"({ips:.0f} img/s)")
-
-            if val_metrics["total"] < best_val:
-                best_val = val_metrics["total"]
-                best_params = (ckpt._device_copy(self.state.params),
-                               ckpt._device_copy(self.state.batch_stats))
-                improved_this_run = True
-                ckpt_writer.save_model(*best_params)
-            if (epoch + 1) % max(checkpoint_every, 1) == 0 \
-                    or epoch == cfg.epochs - 1:
-                ckpt_writer.save_state(self.state, best_val)
-            if epoch_callback is not None:
-                epoch_callback(self, epoch, train_metrics, val_metrics)
+                if val_metrics["total"] < best_val:
+                    best_val = val_metrics["total"]
+                    best_params = (ckpt._device_copy(self.state.params),
+                                   ckpt._device_copy(self.state.batch_stats))
+                    improved_this_run = True
+                    ckpt_writer.save_model(*best_params)
+                if (epoch + 1) % max(checkpoint_every, 1) == 0 \
+                        or epoch == cfg.epochs - 1:
+                    ckpt_writer.save_state(self.state, best_val)
+                if epoch_callback is not None:
+                    epoch_callback(self, epoch, train_metrics, val_metrics)
+        except BaseException:
+            # crash path: flush queued checkpoints NOW — the resume
+            # checkpoint is needed exactly after a crash — and keep the
+            # loss history on disk; then re-raise the original error
+            try:
+                ckpt_writer.close()
+            finally:
+                logger.save_history()
+                logger.close()
+            raise
 
         model_file = os.path.join(self.log_folder, ckpt.MODEL_FILE)
         if improved_this_run or not os.path.exists(model_file):

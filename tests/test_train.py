@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from srl_zoo_tpu.config import SRLConfig
 from srl_zoo_tpu.training import checkpoint as ckpt
@@ -479,3 +480,32 @@ def test_load_meta_tolerates_torn_file(tmp_path):
     d.mkdir(parents=True)
     (d / "meta.json").write_text('{"step": 5, "best_')  # torn write
     assert ckpt.load_meta(str(tmp_path / "run")) == {}
+
+
+def test_crash_mid_training_flushes_checkpoint(synthetic_dataset, tmp_path):
+    """An exception inside the epoch loop must still flush the queued resume
+    checkpoint (the crash is exactly when it's needed — review r2)."""
+    cfg = _cfg(synthetic_dataset, tmp_path, epochs=5)
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+
+    def boom(lrn, epoch, train_m, val_m):
+        if epoch == 1:
+            raise RuntimeError("injected crash")
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        learner.learn(synthetic_dataset, epoch_callback=boom)
+    run = tmp_path / "run"
+    assert (run / "checkpoints" / "state_latest.msgpack").exists()
+    assert (run / "loss_history.npz").exists()  # history kept too
+    # and the flushed checkpoint is loadable
+    restored = ckpt.restore_train_state(str(run),
+                                        jax.device_get(learner.state))
+    assert restored is not None and int(restored.step) > 0
+
+
+def test_checkpointer_submit_after_close_raises(tmp_path):
+    from srl_zoo_tpu.training import checkpoint as ckpt_mod
+    w = ckpt_mod.AsyncCheckpointer(str(tmp_path))
+    w.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        w.save_model({}, {})
