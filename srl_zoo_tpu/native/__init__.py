@@ -56,9 +56,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _lib_failed:
             return _lib
         src = os.path.join(_SRC_DIR, "srlhost.cpp")
-        stale = (not os.path.exists(_SO_PATH)
-                 or (os.path.exists(src)
-                     and os.path.getmtime(src) > os.path.getmtime(_SO_PATH)))
+        try:
+            stale = (not os.path.exists(_SO_PATH)
+                     or (os.path.exists(src)
+                         and os.path.getmtime(src)
+                         > os.path.getmtime(_SO_PATH)))
+        except OSError:
+            # TOCTOU with a concurrent `make clean`: treat as missing
+            stale = True
         if stale and not _build():
             _lib_failed = os.path.exists(_SO_PATH) is False
             if _lib_failed:
