@@ -27,10 +27,13 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
-def make_handler(encoder, info: dict):
+def make_handler(encoder, info: dict, max_body_mb: int = 256):
     lock = threading.Lock()
+    max_body = max_body_mb * 1024 * 1024
 
     class Handler(BaseHTTPRequestHandler):
+        timeout = 60  # a stalled client must not pin a handler thread
+
         def log_message(self, fmt, *args):  # quiet
             pass
 
@@ -55,6 +58,13 @@ def make_handler(encoder, info: dict):
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+                if length > max_body:
+                    # bound memory: one oversized request must not OOM the
+                    # server (requests serialize through the encoder lock)
+                    self._reply(413, f"body {length} B exceeds the "
+                                     f"{max_body_mb} MiB limit".encode(),
+                                "text/plain")
+                    return
                 obs = np.load(io.BytesIO(self.rfile.read(length)),
                               allow_pickle=False)
                 if obs.dtype != np.uint8:
@@ -81,7 +91,8 @@ def make_handler(encoder, info: dict):
 
 
 def build_server(log_folder: str, host: str = "127.0.0.1", port: int = 8080,
-                 max_batch: int = 32) -> ThreadingHTTPServer:
+                 max_batch: int = 32,
+                 max_body_mb: int = 256) -> ThreadingHTTPServer:
     from srl_zoo_tpu.inference import StateEncoder
 
     encoder = StateEncoder.load(log_folder, max_batch=max_batch)
@@ -93,7 +104,8 @@ def build_server(log_folder: str, host: str = "127.0.0.1", port: int = 8080,
     # warm the jit so the first request isn't a compile
     encoder.encode(np.zeros((cfg.img_height, cfg.img_width, cfg.n_channels),
                             np.uint8))
-    return ThreadingHTTPServer((host, port), make_handler(encoder, info))
+    return ThreadingHTTPServer((host, port),
+                               make_handler(encoder, info, max_body_mb))
 
 
 def main(argv=None):
@@ -104,9 +116,11 @@ def main(argv=None):
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--max-batch", type=int, default=32)
+    p.add_argument("--max-body-mb", type=int, default=256,
+                   help="Reject request bodies over this size (HTTP 413)")
     args = p.parse_args(argv)
     server = build_server(args.log_folder, args.host, args.port,
-                          args.max_batch)
+                          args.max_batch, args.max_body_mb)
     print(f"Serving {args.log_folder} on http://{args.host}:{args.port} "
           "(POST /encode, GET /healthz)")
     server.serve_forever()

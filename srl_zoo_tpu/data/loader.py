@@ -78,6 +78,7 @@ class DataLoader:
         self._hw = (cfg.img_height, cfg.img_width)
         self._max_queue = max_queue_len
         self._episode_ids = dataset.episode_ids
+        self._pool = None  # lazy cv2-decode executor (producer thread only)
 
     def __len__(self) -> int:
         b = self.cfg.batch_size
@@ -107,8 +108,13 @@ class DataLoader:
                                                 n_threads=self.num_threads)
             except FileNotFoundError:
                 pass  # fall through to cv2, which also handles other formats
-        with ThreadPoolExecutor(max_workers=self.num_threads) as ex:
-            imgs = list(ex.map(lambda p: _decode_resize(p, self._hw), paths))
+        if self._pool is None:
+            # one pool per loader (only the producer thread uses it): the
+            # fallback path used to build+join a fresh executor per FETCH —
+            # thousands of thread create/destroy cycles per epoch
+            self._pool = ThreadPoolExecutor(max_workers=self.num_threads)
+        imgs = list(self._pool.map(lambda p: _decode_resize(p, self._hw),
+                                   paths))
         return np.stack(imgs)
 
     def _resize_batch(self, imgs: np.ndarray) -> np.ndarray:
