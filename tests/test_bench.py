@@ -17,6 +17,8 @@ def test_bench_smoke_json_contract(capsys):
     assert rec["vs_baseline"] > 0
     assert "detail" in rec and "device" in rec
     assert not any(k.endswith("_error") for k in rec["detail"])
+    assert rec["link_mbps"] > 0  # host-link bandwidth recorded (VERDICT r2)
+    assert rec["link_mbps_max"] >= rec["link_mbps"]
 
 
 def test_perf_gate_paths(tmp_path):
@@ -50,3 +52,51 @@ def test_perf_gate_paths(tmp_path):
     assert run(base_val * 1.05) == 0
     assert run(base_val * 0.95) == 0   # inside the 10% band
     assert run(base_val * 0.80) == 1   # regression
+
+
+def test_perf_gate_detail_rows():
+    """Detail-row gating (VERDICT r2 weak #3): cached_* rows are hard-gated;
+    streaming_* rows compare img/s per link-MB/s so a slow tunnel day is not
+    a code regression; hybrid_* is report-only."""
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "ci"))
+    try:
+        import perf_gate
+    finally:
+        sys.path.pop(0)
+
+    base = {"value": 17000.0, "link_mbps": 100.0,
+            "detail": {"cached_a": 17000.0, "streaming_b": 300.0,
+                       "hybrid_c": 700.0, "broken_d": 0.0,
+                       "broken_d_error": "boom"}}
+
+    def verdicts(cur, band=0.15):
+        rows = perf_gate.gate_details(base, cur, band)
+        return {name: bad for name, _, bad in rows}
+
+    # identical run: everything OK
+    ok = verdicts(dict(base))
+    assert ok == {"cached_a": False, "streaming_b": False, "hybrid_c": False}
+    # cached regression beyond the band fails
+    cur = {"value": 17000.0, "link_mbps": 100.0,
+           "detail": {"cached_a": 8000.0, "streaming_b": 300.0,
+                      "hybrid_c": 700.0}}
+    assert verdicts(cur)["cached_a"] is True
+    # streaming halved BECAUSE the link halved: link-normalized -> OK
+    cur = {"value": 17000.0, "link_mbps": 50.0,
+           "detail": {"cached_a": 17000.0, "streaming_b": 150.0,
+                      "hybrid_c": 400.0}}
+    v = verdicts(cur)
+    assert v["streaming_b"] is False and v["hybrid_c"] is False
+    # streaming halved at the SAME link bandwidth -> real regression
+    cur = {"value": 17000.0, "link_mbps": 100.0,
+           "detail": {"cached_a": 17000.0, "streaming_b": 150.0,
+                      "hybrid_c": 700.0}}
+    assert verdicts(cur)["streaming_b"] is True
+    # legacy baseline without link_mbps: streaming is report-only
+    legacy = {k: v for k, v in base.items() if k != "link_mbps"}
+    rows = perf_gate.gate_details(legacy, cur, 0.15)
+    row = {name: (desc, bad) for name, desc, bad in rows}["streaming_b"]
+    assert "report-only" in row[0] and row[1] is False
