@@ -46,12 +46,34 @@ def check_dataset(data_folder: str, img_size: int) -> None:
             printYellow(f"frames cache not built: {e}")
 
 
+def _cell_log_folder(dataset_name: str, model_type: str, losses,
+                     state_dim: int, seed: int) -> str:
+    """A per-cell log folder that CANNOT collide across the grid: the
+    timestamped default has 1-second resolution, so two sub-second cells
+    (tiny grids, cached data, warm compile cache) used to silently write
+    into the same folder, corrupting both cells' artifacts (VERDICT r2 weak
+    #6). Cell coordinates (model, losses, dim, seed) are all encoded, and a
+    numeric suffix resolves any remaining collision (e.g. a re-run)."""
+    import datetime
+
+    ts = datetime.datetime.now().strftime("%y-%m-%d_%Hh%M_%S")
+    base = os.path.join(
+        "logs", dataset_name,
+        f"{ts}_{model_type}_{'_'.join(losses)}_d{state_dim}_s{seed}")
+    folder, k = base, 1
+    while os.path.exists(folder):
+        k += 1
+        folder = f"{base}_{k}"
+    return folder
+
+
 def run_experiment(data_folder: str, losses, state_dim: int, model_type: str,
                    args, seed: int) -> dict:
     """One grid cell: train + knn eval + reward probe, all in-process."""
     import train as train_cli
     from srl_zoo_tpu.evaluation import knn_images, predict_reward
 
+    dataset_name = os.path.basename(parseDataFolder(data_folder))
     flags = ["--data-folder", data_folder,
              "--losses", *losses,
              "--state-dim", str(state_dim),
@@ -60,7 +82,9 @@ def run_experiment(data_folder: str, losses, state_dim: int, model_type: str,
              "-bs", str(args.batch_size),
              "--seed", str(seed),
              "--val-size", str(args.val_size),
-             "--training-set-size", str(args.training_set_size)]
+             "--training-set-size", str(args.training_set_size),
+             "--log-folder", _cell_log_folder(dataset_name, model_type,
+                                              losses, state_dim, seed)]
     if args.multi_view:
         flags.append("--multi-view")
     if args.dtype != "float32":
@@ -85,6 +109,37 @@ def run_experiment(data_folder: str, losses, state_dim: int, model_type: str,
             "state_dim": state_dim, "model_type": model_type, "seed": seed,
             "knn_mse": knn, "gtc": gtc, "reward_accuracy": acc,
             "images_per_sec": round(ips, 1)}
+
+
+def _coerce_grid_value(action, value):
+    """Coerce one exp-config JSON value to the argparse type of its matching
+    option so a bad grid fails at config-load time, not with an obscure error
+    hours into training (ADVICE r2): "epochs": "50" becomes 50; a scalar
+    where a list is expected ("state-dims": 4) becomes [4]; a non-numeric
+    value or an unknown choice raises ValueError naming the problem."""
+    if action is None:
+        return value
+    if isinstance(action, (argparse._StoreTrueAction,
+                           argparse._StoreFalseAction)):
+        if isinstance(value, bool):
+            return value
+        if value in (0, 1):
+            return bool(value)
+        raise ValueError(f"expected true/false, got {value!r}")
+    typ = action.type or str
+
+    def one(v):
+        if typ is int and isinstance(v, float) and v != int(v):
+            raise ValueError(f"expected an integer, got {v!r}")
+        out = v if (typ is str and isinstance(v, str)) else typ(v)
+        if action.choices is not None and out not in action.choices:
+            raise ValueError(f"{out!r} not one of {sorted(action.choices)}")
+        return out
+
+    if action.nargs in ("+", "*"):
+        seq = value if isinstance(value, (list, tuple)) else [value]
+        return [one(v) for v in seq]
+    return one(value)
 
 
 def aggregate_seeds(per_seed: list) -> dict:
@@ -145,14 +200,20 @@ def main(argv=None):
         # spelling): silently ignoring grid keys (seeds, dtype, multi-view,
         # ...) used to run hours of experiments with the wrong config.
         known = {name.replace("_", "-"): name for name in vars(args)}
+        by_dest = {a.dest: a for a in p._actions}
         loss_groups = grid.pop("losses", [["autoencoder"]])
         for key, value in grid.items():
             name = known.get(key) or known.get(key.replace("_", "-"))
             if name is None:
                 printYellow(f"exp-config: unknown key {key!r} ignored "
                             f"(known: {sorted(known)})")
-            else:
-                setattr(args, name, value)
+                continue
+            try:
+                value = _coerce_grid_value(by_dest.get(name), value)
+            except (TypeError, ValueError) as e:
+                printRed(f"exp-config: bad value for key {key!r}: {e}")
+                raise SystemExit(1)
+            setattr(args, name, value)
     else:
         loss_groups = args.losses or [["autoencoder"]]
 

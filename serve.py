@@ -82,7 +82,11 @@ def make_handler(encoder, info: dict, max_body_mb: int = 256):
                 buf = io.BytesIO()
                 np.save(buf, np.asarray(states, np.float32))
                 self._reply(200, buf.getvalue())
-            except ValueError as e:  # bad shape/batch size: client error
+            except (ValueError, TypeError) as e:
+                # bad shape/ndim/dtype surfaces as ValueError from the
+                # geometry check or TypeError from array coercion — both are
+                # the CLIENT's malformed request, and a 500 here would make
+                # load balancers eject a healthy server (ADVICE r2)
                 self._reply(400, str(e).encode(), "text/plain")
             except Exception as e:  # encoder/backend failure: OUR fault —
                 self._reply(500, str(e).encode(), "text/plain")  # let LBs see it

