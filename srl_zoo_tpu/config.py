@@ -148,6 +148,13 @@ class SRLConfig:
     normalize_mode: str = "tf"  # "tf" -> [-1, 1]; "image_net" -> mean/std
     compute_dtype: str = "float32"  # or "bfloat16" for MXU-friendly compute
     inverse_model_type: str = "linear"  # "linear" | "mlp"
+    # Episode-prior discriminator optimizer: "shared" trains it through the
+    # same Adam step as the encoder (round-1/2 behavior); "separate" gives
+    # the discriminator subtree its own independent Adam moments
+    # (optax.multi_transform) — the diff-ready alternative for
+    # docs/DESIGN_DECISIONS.md #4, which suspects upstream used a separate
+    # torch optimizer (VERDICT r2 next #9).
+    episode_prior_optimizer: str = "shared"
     path_to_dae: str = ""
     # torch resnet18 state_dict (.npz or .pth) to port into the encoder
     # (reference: torchvision ImageNet-pretrained ResNet-18)
@@ -158,6 +165,14 @@ class SRLConfig:
     # HBM-resident dataset cache: "auto" caches when the frame store fits on
     # device (data/device_cache.py), "on" requires it, "off" streams batches.
     device_cache: str = "auto"
+    # Streaming-mode device-side double buffering: issue batch k+1's
+    # host->device transfer before dispatching step k. OFF by default: on
+    # this host's remote-tunnel backend transfers serialize and the extra
+    # in-flight buffer only adds HBM pressure (docs/PERF.md); on PCIe hosts
+    # with independent DMA engines it overlaps transfer with compute
+    # (VERDICT r2 next #10 — bench.py's streaming_overlap row records which
+    # regime the current backend is in).
+    stream_overlap: bool = False
 
     def __post_init__(self):
         if self.device_cache not in ("auto", "on", "off", "hybrid",
@@ -168,6 +183,10 @@ class SRLConfig:
         if self.model_type not in VALID_MODELS:
             raise ValueError(f"Unknown model type '{self.model_type}'. "
                              f"Valid: {', '.join(VALID_MODELS)}")
+        if self.episode_prior_optimizer not in ("shared", "separate"):
+            raise ValueError(
+                f"Unknown episode_prior_optimizer "
+                f"'{self.episode_prior_optimizer}' (expected shared/separate)")
         if self.normalize_mode not in ("tf", "image_net"):
             raise ValueError(f"Unknown normalize mode '{self.normalize_mode}'"
                              " (expected 'tf' or 'image_net')")
@@ -297,12 +316,14 @@ class SRLConfig:
             "normalize-mode": self.normalize_mode,
             "compute-dtype": self.compute_dtype,
             "inverse-model-type": self.inverse_model_type,
+            "episode-prior-optimizer": self.episode_prior_optimizer,
             "path-to-dae": self.path_to_dae,
             "pretrained-weights": self.pretrained_weights,
             "img-shape": [self.img_height, self.img_width, self.n_channels],
             "val-size": self.val_size,
             "num-cpu": self.num_cpu,
             "device-cache": self.device_cache,
+            "stream-overlap": self.stream_overlap,
         }
 
     def save(self, log_folder: str) -> str:
@@ -345,12 +366,15 @@ class SRLConfig:
             normalize_mode=cfg.get("normalize-mode", "tf"),
             compute_dtype=cfg.get("compute-dtype", "float32"),
             inverse_model_type=cfg.get("inverse-model-type", "linear"),
+            episode_prior_optimizer=cfg.get("episode-prior-optimizer",
+                                            "shared"),
             path_to_dae=cfg.get("path-to-dae", ""),
             pretrained_weights=cfg.get("pretrained-weights", ""),
             data_folder=cfg.get("data-folder", ""),
             log_folder=cfg.get("log-folder", ""),
             num_cpu=int(cfg.get("num-cpu", 4)),
             device_cache=cfg.get("device-cache", "auto"),
+            stream_overlap=bool(cfg.get("stream-overlap", False)),
         )
 
     @classmethod
@@ -390,9 +414,12 @@ def build_config(args, losses: Dict[str, float], split_dims: Dict[str, int],
         balanced_sampling=getattr(args, "balanced_sampling", False),
         compute_dtype=getattr(args, "dtype", "float32"),
         inverse_model_type=getattr(args, "inverse_model_type", "linear"),
+        episode_prior_optimizer=getattr(args, "episode_prior_optimizer",
+                                        "shared"),
         path_to_dae=getattr(args, "path_to_dae", "") or "",
         pretrained_weights=getattr(args, "pretrained_weights", "") or "",
         device_cache=getattr(args, "device_cache", "auto"),
+        stream_overlap=getattr(args, "stream_overlap", False),
         data_folder=args.data_folder,
         log_folder=getattr(args, "log_folder", ""),
         num_cpu=getattr(args, "num_cpu", 4),

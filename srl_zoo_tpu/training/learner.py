@@ -280,6 +280,32 @@ class SRL4robotics:
             opt_state=self.tx.init(params))
         printGreen(f"Ported pretrained ResNet-18 weights from {weights_path}")
 
+    def _sharded_stream(self, loader):
+        """Yield (device_batch, n_rows) for a streaming-phase loader.
+
+        With ``cfg.stream_overlap`` batch k+1's host->device transfer
+        (shard_batch -> device_put, asynchronous) is issued BEFORE step k is
+        dispatched, so on backends with independent DMA engines the transfer
+        hides behind compute (device-side double buffering, one extra batch
+        of HBM). Default path transfers just-in-time — on this host's
+        remote-tunnel backend transfers serialize and overlap buys nothing
+        (docs/PERF.md; VERDICT r2 next #10)."""
+        if not self.cfg.stream_overlap:
+            for batch in loader:
+                yield shard_batch(batch, self.mesh), len(batch["valid"])
+            return
+        it = iter(loader)
+        try:
+            first = next(it)
+        except StopIteration:
+            return
+        nxt = (shard_batch(first, self.mesh), len(first["valid"]))
+        for batch in it:
+            cur = nxt
+            nxt = (shard_batch(batch, self.mesh), len(batch["valid"]))
+            yield cur
+        yield nxt
+
     # ---- frozen DAE for perceptual similarity --------------------------------
     @staticmethod
     def _build_frozen_dae(path_to_dae: str) -> Callable:
@@ -447,9 +473,15 @@ class SRL4robotics:
         except BaseException:
             # crash path: flush queued checkpoints NOW — the resume
             # checkpoint is needed exactly after a crash — and keep the
-            # loss history on disk; then re-raise the original error
+            # loss history on disk; then re-raise the original error.
+            # close() itself may raise (writer failed / hung >600s): that
+            # must not demote the REAL cause (OOM/NaN/KeyboardInterrupt) to
+            # __context__ (ADVICE r2)
             try:
                 ckpt_writer.close()
+            except Exception as ckpt_err:
+                printYellow(f"checkpoint flush failed during crash "
+                            f"handling: {ckpt_err!r}")
             finally:
                 logger.save_history()
                 logger.close()

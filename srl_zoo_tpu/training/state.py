@@ -22,8 +22,22 @@ class TrainState(flax.struct.PyTreeNode):
 
 def make_optimizer(cfg: SRLConfig) -> optax.GradientTransformation:
     """Adam with the reference's defaults (torch Adam betas/eps; reference:
-    models/learner.py optimizer construction)."""
-    return optax.adam(cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    models/learner.py optimizer construction).
+
+    With ``--episode-prior-optimizer separate`` the discriminator parameter
+    subtree gets its OWN Adam (independent first/second moments) via
+    optax.multi_transform — the functional equivalent of the separate torch
+    optimizer docs/DESIGN_DECISIONS.md #4 suspects upstream used. Both
+    transforms still apply in the same jitted step (same compiled program
+    shape; no second apply/backward)."""
+    adam = optax.adam(cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    if cfg.use_episode_prior and cfg.episode_prior_optimizer == "separate":
+        disc_adam = optax.adam(cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+        return optax.multi_transform(
+            {"rest": adam, "disc": disc_adam},
+            lambda params: {k: ("disc" if k == "discriminator" else "rest")
+                            for k in params})
+    return adam
 
 
 def _dummy_batch_args(cfg: SRLConfig, batch_size: int):

@@ -68,6 +68,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                         help="Oversample rare reward classes")
     parser.add_argument("--inverse-model-type", type=str, default="linear",
                         choices=["linear", "mlp"])
+    parser.add_argument("--episode-prior-optimizer", type=str,
+                        default="shared", choices=["shared", "separate"],
+                        help="Train the episode-prior discriminator through "
+                             "the shared Adam step (default) or give it its "
+                             "own independent Adam moments")
     parser.add_argument("--path-to-dae", type=str, default="",
                         help="Log folder of a pretrained DAE "
                              "(perceptual loss)")
@@ -104,6 +109,12 @@ def parse_args(argv=None) -> argparse.Namespace:
                              "ship only index arrays per step; 'auto' falls "
                              "back to a hybrid hot-prefix cache for "
                              "over-budget datasets (SRL_ZOO_CACHE_BUDGET_MB)")
+    parser.add_argument("--stream-overlap", action="store_true",
+                        help="Streaming mode: issue the next batch's "
+                             "host->device transfer while the current step "
+                             "computes (double buffering). Helps on PCIe "
+                             "hosts with independent DMA engines; pointless "
+                             "through a serializing tunnel link")
     # ---- multi-host (DCN) attach: every host runs the same command with its
     # own --process-id; flags default from the SRL_ZOO_* env so pod launchers
     # can inject them without templating the command line
