@@ -120,7 +120,8 @@ def _coerce_grid_value(action, value):
     if action is None:
         return value
     if isinstance(action, (argparse._StoreTrueAction,
-                           argparse._StoreFalseAction)):
+                           argparse._StoreFalseAction,
+                           argparse.BooleanOptionalAction)):
         if isinstance(value, bool):
             return value
         if value in (0, 1):

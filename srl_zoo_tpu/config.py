@@ -166,12 +166,15 @@ class SRLConfig:
     # device (data/device_cache.py), "on" requires it, "off" streams batches.
     device_cache: str = "auto"
     # Streaming-mode device-side double buffering: issue batch k+1's
-    # host->device transfer before dispatching step k. OFF by default: on
-    # this host's remote-tunnel backend transfers serialize and the extra
-    # in-flight buffer only adds HBM pressure (docs/PERF.md); on PCIe hosts
-    # with independent DMA engines it overlaps transfer with compute
-    # (VERDICT r2 next #10 — bench.py's streaming_overlap row records which
-    # regime the current backend is in).
+    # host->device transfer before dispatching step k (one extra batch of
+    # HBM; numerically identical — pure scheduling). OFF by default on the
+    # honest measurement: an INTERLEAVED A/B on the real chip (docs/PERF.md
+    # r3) shows throughput parity through this serializing tunnel link
+    # (ratios 0.91-1.35 across reps, i.e. inside link variance — a naive
+    # sequential A/B had shown "2x" purely from link drift). Overlap does
+    # reduce step-time variance and is expected to win on PCIe hosts with
+    # independent DMA engines: turn on with --stream-overlap there
+    # (VERDICT r2 next #10).
     stream_overlap: bool = False
 
     def __post_init__(self):

@@ -285,11 +285,11 @@ class SRL4robotics:
 
         With ``cfg.stream_overlap`` batch k+1's host->device transfer
         (shard_batch -> device_put, asynchronous) is issued BEFORE step k is
-        dispatched, so on backends with independent DMA engines the transfer
-        hides behind compute (device-side double buffering, one extra batch
-        of HBM). Default path transfers just-in-time — on this host's
-        remote-tunnel backend transfers serialize and overlap buys nothing
-        (docs/PERF.md; VERDICT r2 next #10)."""
+        dispatched (device-side double buffering, one extra batch of HBM).
+        Interleaved A/B on the real chip: throughput-neutral through this
+        host's serializing tunnel but collapses step-time variance; expected
+        to genuinely overlap on PCIe hosts (docs/PERF.md r3; VERDICT r2
+        next #10). Default OFF."""
         if not self.cfg.stream_overlap:
             for batch in loader:
                 yield shard_batch(batch, self.mesh), len(batch["valid"])
@@ -430,13 +430,14 @@ class SRL4robotics:
                         acc.append(metrics)  # (n_steps,) device arrays
                     else:
                         # streaming phase (no cache / hybrid cold tail): batches
-                        # carry uint8 pixels, bounded by the host link
-                        for batch in loader:
-                            sharded = shard_batch(batch, self.mesh)
+                        # carry uint8 pixels, bounded by the host link;
+                        # _sharded_stream optionally double-buffers the
+                        # transfers (--stream-overlap, docs/PERF.md r3)
+                        for sharded, n_rows in self._sharded_stream(loader):
                             self.state, metrics = self.train_step(
                                 self.state, sharded, train_rng, None)
                             step += 1
-                            n_images += len(batch["valid"])
+                            n_images += n_rows
                             acc.append(metrics)  # on device; reduced per epoch
                 train_metrics = _mean_metrics(acc)
                 dt = time.time() - t_epoch
@@ -528,8 +529,7 @@ class SRL4robotics:
                 sharded = shard_stacked_batch(stacked, self.mesh)
                 vacc.append(self.eval_epoch(self.state, sharded, rng, cache))
             else:
-                for batch in loader:
-                    sharded = shard_batch(batch, self.mesh)
+                for sharded, _ in self._sharded_stream(loader):
                     vacc.append(self.eval_step(self.state, sharded, rng,
                                                None))
         return _mean_metrics(vacc)

@@ -109,12 +109,15 @@ def parse_args(argv=None) -> argparse.Namespace:
                              "ship only index arrays per step; 'auto' falls "
                              "back to a hybrid hot-prefix cache for "
                              "over-budget datasets (SRL_ZOO_CACHE_BUDGET_MB)")
-    parser.add_argument("--stream-overlap", action="store_true",
+    parser.add_argument("--stream-overlap", default=False,
+                        action=argparse.BooleanOptionalAction,
                         help="Streaming mode: issue the next batch's "
                              "host->device transfer while the current step "
-                             "computes (double buffering). Helps on PCIe "
-                             "hosts with independent DMA engines; pointless "
-                             "through a serializing tunnel link")
+                             "computes (double buffering; numerically "
+                             "identical). Throughput-neutral through a "
+                             "serializing tunnel link (measured, PERF.md); "
+                             "turn on for PCIe hosts with independent DMA "
+                             "engines")
     # ---- multi-host (DCN) attach: every host runs the same command with its
     # own --process-id; flags default from the SRL_ZOO_* env so pod launchers
     # can inject them without templating the command line
