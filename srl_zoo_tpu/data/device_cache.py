@@ -14,9 +14,10 @@ Datasets over the HBM budget use the HYBRID mode: a hot prefix of the frame
 store stays resident (full cached-scan speed) and the cold tail streams
 uint8 batches once per epoch. That is the link-bandwidth lower bound — each
 cold sample must cross the host link once per epoch no matter the schedule —
-so hybrid is within epsilon of optimal for over-budget datasets (measured:
-transfers do NOT overlap compute through this tunnel; two concurrent put
-streams are SLOWER than one, so smarter pipelining cannot beat fewer bytes).
+so hybrid is within epsilon of optimal for over-budget datasets (measured
+twice: r2 — two concurrent put streams are SLOWER than one; r3 — an
+interleaved A/B shows single-transfer double buffering is throughput-neutral
+through this tunnel, PERF.md. Smarter pipelining cannot beat fewer bytes).
 
 The reference has no equivalent (its loader re-decodes JPEGs every epoch,
 SURVEY.md §3.3); this is a rebuild-side design, not a port.

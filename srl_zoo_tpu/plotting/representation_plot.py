@@ -26,14 +26,11 @@ def _project(states: np.ndarray, max_dim: int = 3) -> np.ndarray:
     return centered @ vt[:max_dim].T
 
 
-def plot_representation(states: np.ndarray, rewards: np.ndarray,
-                        save_path: Optional[str] = None,
-                        title: str = "Learned state representation"):
-    """Scatter of learned states colored by reward; 1D/2D/3D aware."""
-    states = np.asarray(states)
+def _draw_states(fig, states: np.ndarray, rewards: np.ndarray, title: str):
+    """Render the 1D/2D/3D reward-colored scatter into ``fig`` (shared by the
+    file plots and the interactive LiveView)."""
+    proj = _project(np.asarray(states))
     rewards = np.asarray(rewards).reshape(-1)
-    proj = _project(states)
-    fig = plt.figure(figsize=(6, 5))
     if proj.shape[1] >= 3:
         ax = fig.add_subplot(111, projection="3d")
         sc = ax.scatter(proj[:, 0], proj[:, 1], proj[:, 2], c=rewards,
@@ -48,11 +45,57 @@ def plot_representation(states: np.ndarray, rewards: np.ndarray,
     fig.colorbar(sc, ax=ax, label="reward")
     ax.set_title(title)
     fig.tight_layout()
+
+
+def plot_representation(states: np.ndarray, rewards: np.ndarray,
+                        save_path: Optional[str] = None,
+                        title: str = "Learned state representation"):
+    """Scatter of learned states colored by reward; 1D/2D/3D aware."""
+    fig = plt.figure(figsize=(6, 5))
+    _draw_states(fig, states, rewards, title)
     if save_path:
         os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
         fig.savefig(save_path, dpi=100)
     plt.close(fig)
     return fig
+
+
+class LiveView:
+    """Interactive live representation window (reference:
+    plotting/representation_plot.py's plt.ion() figure updated during
+    training). Created only when a GUI backend is actually usable —
+    ``create()`` returns None on headless hosts, which keep the
+    plots/live.html auto-refresh view instead (both are wired behind
+    train.py --plot-every)."""
+
+    def __init__(self):
+        plt.ion()
+        self.fig = plt.figure(figsize=(6, 5))
+        self.fig.canvas.manager.set_window_title("SRL live states")
+
+    @classmethod
+    def create(cls) -> Optional["LiveView"]:
+        import sys
+        if sys.platform not in ("darwin", "win32") \
+                and not os.environ.get("DISPLAY") \
+                and not os.environ.get("WAYLAND_DISPLAY"):
+            return None  # headless: no window server to draw on
+        try:
+            plt.switch_backend("TkAgg")
+            return cls()
+        except Exception:
+            return None  # no GUI toolkit — fall back to the html view
+
+    def update(self, states: np.ndarray, rewards: np.ndarray,
+               title: str) -> None:
+        self.fig.clf()
+        _draw_states(self.fig, states, rewards, title)
+        self.fig.canvas.draw_idle()
+        plt.pause(0.001)  # hand the GUI event loop a tick
+
+    def close(self) -> None:
+        plt.ioff()
+        plt.close(self.fig)
 
 
 def main(argv=None):

@@ -84,7 +84,13 @@ class MetricsLogger:
         """Write the loss-history npz the plotting CLI consumes
         (reference loss history artifact)."""
         path = os.path.join(self.log_folder, "loss_history.npz")
-        np.savez(path, **{k: np.asarray(v) for k, v in self.history.items()})
+        # atomic: save_history also runs on the crash path, and a torn npz
+        # would silently reset a resumed run's curve (the loader treats
+        # corrupt files as start-fresh)
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:  # file handle: savez must not append .npz
+            np.savez(f, **{k: np.asarray(v) for k, v in self.history.items()})
+        os.replace(tmp, path)
         return path
 
     def close(self) -> None:

@@ -53,3 +53,32 @@ def test_profile_summarizer(synthetic_dataset, tmp_path):
     # yields the per-category table (verified manually, docs/PERF.md).
     assert isinstance(rows, list)
     assert all(len(r) == 3 for r in rows)
+
+
+def test_live_view_headless_returns_none(monkeypatch):
+    """On a host with no window server, LiveView.create() must return None
+    (train.py then relies on the live.html auto-refresh view)."""
+    from srl_zoo_tpu.plotting.representation_plot import LiveView
+
+    monkeypatch.delenv("DISPLAY", raising=False)
+    monkeypatch.delenv("WAYLAND_DISPLAY", raising=False)
+    monkeypatch.setattr("sys.platform", "linux")
+    assert LiveView.create() is None
+
+
+def test_live_view_update_cycle(monkeypatch, rng):
+    """With a (faked) display, the interactive window path runs: create ->
+    update twice (2D and 3D-projected states) -> close, under the Agg
+    backend (FigureManagerBase makes the GUI calls no-ops)."""
+    import matplotlib.pyplot as plt
+
+    from srl_zoo_tpu.plotting import representation_plot as rp
+
+    monkeypatch.setenv("DISPLAY", ":0")
+    monkeypatch.setattr(plt, "switch_backend", lambda name: None)
+    monkeypatch.setattr(plt, "pause", lambda t: None)  # no GUI event loop
+    view = rp.LiveView.create()
+    assert view is not None
+    view.update(rng.randn(40, 2), rng.rand(40), "epoch 1")
+    view.update(rng.randn(40, 8), rng.rand(40), "epoch 2")  # PCA path
+    view.close()

@@ -195,6 +195,7 @@ def main(argv=None):
     learner = SRL4robotics(cfg, log_folder=log_folder)
 
     epoch_callback = None
+    live_view = None
     if args.plot_every > 0:
         plot_idx = np.arange(0, dataset.n_samples,
                              max(dataset.n_samples // 2000, 1),
@@ -211,19 +212,33 @@ def main(argv=None):
                     '<body style="background:#111;text-align:center">\n'
                     '<img src="latest.png" style="max-width:100%">\n')
 
+        # true interactive window when a GUI backend exists (reference's
+        # live matplotlib mode); None on headless hosts, where live.html is
+        # the equivalent
+        if not args.no_display_plots:
+            from srl_zoo_tpu.plotting.representation_plot import LiveView
+            live_view = LiveView.create()
+
         def epoch_callback(lrn, epoch, train_m, val_m):
             if (epoch + 1) % args.plot_every:
                 return
             s = lrn.predict_states(dataset, plot_idx)
+            title = f"States after epoch {epoch + 1}"
             path = os.path.join(plots_dir, f"epoch_{epoch + 1}.png")
             plot_representation(s, dataset.rewards[plot_idx], path,
-                                title=f"States after epoch {epoch + 1}")
+                                title=title)
             import shutil
             shutil.copyfile(path, os.path.join(plots_dir, "latest.png"))
+            if live_view is not None:
+                live_view.update(s, dataset.rewards[plot_idx], title)
 
-    learner.learn(dataset, epoch_callback=epoch_callback,
-                  resume=args.resume, profile=args.profile,
-                  checkpoint_every=args.checkpoint_every)
+    try:
+        learner.learn(dataset, epoch_callback=epoch_callback,
+                      resume=args.resume, profile=args.profile,
+                      checkpoint_every=args.checkpoint_every)
+    finally:
+        if live_view is not None:
+            live_view.close()
 
     try:
         # ---- export: states for the WHOLE dataset + plots (reference contract)
