@@ -22,14 +22,101 @@ import argparse
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
 
-def make_handler(encoder, info: dict, max_body_mb: int = 256):
+class BatchCoalescer:
+    """Group concurrent /encode requests into one device batch.
+
+    With the plain lock, N concurrent clients run the chip at batch 1, N
+    times (the jitted encoder pads each call to max_batch anyway — (N-1)/N
+    of every launch is wasted padding). The coalescer holds the first
+    request for up to ``window_ms`` while more arrive, concatenates up to
+    ``max_batch`` rows, encodes ONCE, and hands each caller its slice.
+    Single-client latency cost is bounded by window_ms; zero when a full
+    batch forms sooner. Thread-safe; used instead of the lock when
+    --coalesce-ms > 0."""
+
+    def __init__(self, encoder, window_ms: float = 2.0):
+        self.encoder = encoder
+        self.window_s = window_ms / 1000.0
+        self.max_rows = encoder.max_batch
+        self._lock = threading.Lock()
+        self._queue: list = []  # [(obs_batch, event, slot_dict)]
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="srl-serve-coalescer")
+        self._wake = threading.Event()
+        self._thread.start()
+
+    def encode(self, obs: np.ndarray) -> np.ndarray:
+        """Validate + enqueue one request; blocks until its states arrive."""
+        single = obs.ndim == 3
+        batch = obs[None] if single else obs
+        # validate geometry HERE so one malformed request fails alone,
+        # never the whole coalesced group
+        expected = (self.encoder.cfg.img_height, self.encoder.cfg.img_width,
+                    self.encoder.cfg.n_channels)
+        if batch.ndim != 4 or batch.shape[1:] != expected:
+            raise ValueError(
+                f"expected uint8 observations of shape {expected} "
+                f"(or batched (B, *{expected})), got {obs.shape}")
+        done = threading.Event()
+        slot: dict = {}
+        with self._lock:
+            self._queue.append((np.asarray(batch, np.uint8), done, slot))
+        self._wake.set()
+        done.wait()
+        if "err" in slot:
+            raise slot["err"]
+        states = slot["states"]
+        return states[0] if single else states
+
+    def _run(self):
+        while True:
+            self._wake.wait()
+            with self._lock:
+                if not self._queue:
+                    self._wake.clear()
+                    continue
+            # first request opens the window
+            deadline = time.monotonic() + self.window_s
+            while time.monotonic() < deadline:
+                with self._lock:
+                    if sum(len(b) for b, _, _ in self._queue) >= self.max_rows:
+                        break
+                time.sleep(self.window_s / 10.0)
+            with self._lock:
+                group, self._queue = self._queue, []
+                self._wake.clear()  # queue is now empty; next append re-sets
+            if not group:
+                continue
+            try:
+                stacked = np.concatenate([b for b, _, _ in group])
+                states = self.encoder.encode(stacked)
+                off = 0
+                for b, done, slot in group:
+                    slot["states"] = states[off:off + len(b)]
+                    off += len(b)
+                    done.set()
+            except Exception as e:
+                for _, done, slot in group:
+                    slot["err"] = e
+                    done.set()
+
+
+def make_handler(encoder, info: dict, max_body_mb: int = 256,
+                 coalescer: "BatchCoalescer | None" = None):
     lock = threading.Lock()
     max_body = max_body_mb * 1024 * 1024
+
+    def run_encode(obs):
+        if coalescer is not None:
+            return coalescer.encode(obs)
+        with lock:
+            return encoder.encode(obs)
 
     class Handler(BaseHTTPRequestHandler):
         timeout = 60  # a stalled client must not pin a handler thread
@@ -77,8 +164,7 @@ def make_handler(encoder, info: dict, max_body_mb: int = 256):
                 self._reply(400, str(e).encode(), "text/plain")
                 return
             try:
-                with lock:
-                    states = encoder.encode(obs)
+                states = run_encode(obs)
                 buf = io.BytesIO()
                 np.save(buf, np.asarray(states, np.float32))
                 self._reply(200, buf.getvalue())
@@ -96,7 +182,8 @@ def make_handler(encoder, info: dict, max_body_mb: int = 256):
 
 def build_server(log_folder: str, host: str = "127.0.0.1", port: int = 8080,
                  max_batch: int = 32,
-                 max_body_mb: int = 256) -> ThreadingHTTPServer:
+                 max_body_mb: int = 256,
+                 coalesce_ms: float = 0.0) -> ThreadingHTTPServer:
     from srl_zoo_tpu.inference import StateEncoder
 
     encoder = StateEncoder.load(log_folder, max_batch=max_batch)
@@ -108,8 +195,12 @@ def build_server(log_folder: str, host: str = "127.0.0.1", port: int = 8080,
     # warm the jit so the first request isn't a compile
     encoder.encode(np.zeros((cfg.img_height, cfg.img_width, cfg.n_channels),
                             np.uint8))
-    return ThreadingHTTPServer((host, port),
-                               make_handler(encoder, info, max_body_mb))
+    coalescer = BatchCoalescer(encoder, coalesce_ms) if coalesce_ms > 0 \
+        else None
+    server = ThreadingHTTPServer(
+        (host, port), make_handler(encoder, info, max_body_mb, coalescer))
+    server.coalescer = coalescer  # introspectable (tests, ops tooling)
+    return server
 
 
 def main(argv=None):
@@ -122,9 +213,17 @@ def main(argv=None):
     p.add_argument("--max-batch", type=int, default=32)
     p.add_argument("--max-body-mb", type=int, default=256,
                    help="Reject request bodies over this size (HTTP 413)")
+    p.add_argument("--coalesce-ms", type=float, default=0.0,
+                   help="Group concurrent requests arriving within this "
+                        "window into one device batch (up to --max-batch "
+                        "rows). 0 = off. Under N concurrent clients this "
+                        "turns N batch-1 launches into one full-batch "
+                        "launch; single-client latency grows by at most "
+                        "the window")
     args = p.parse_args(argv)
     server = build_server(args.log_folder, args.host, args.port,
-                          args.max_batch, args.max_body_mb)
+                          args.max_batch, args.max_body_mb,
+                          args.coalesce_ms)
     print(f"Serving {args.log_folder} on http://{args.host}:{args.port} "
           "(POST /encode, GET /healthz)")
     server.serve_forever()

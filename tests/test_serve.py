@@ -68,3 +68,100 @@ def test_serve_encode_round_trip(synthetic_dataset, tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_serve_coalesced_concurrent_requests(synthetic_dataset, tmp_path):
+    """--coalesce-ms groups concurrent requests into fewer device launches
+    and every client still gets exactly its own rows back."""
+    ds = synthetic_dataset
+    cfg = SRLConfig(state_dim=4, img_height=32, img_width=32, batch_size=16,
+                    epochs=1, losses=(("autoencoder", 1.0),),
+                    split_dims=(("autoencoder", -1),),
+                    log_folder=str(tmp_path / "srv_co"))
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    learner.learn(ds)
+    cfg.save(cfg.log_folder)
+    exported = learner.predict_states(ds)
+
+    from serve import build_server
+    server = build_server(cfg.log_folder, port=0, coalesce_ms=25.0)
+    coalescer = server.coalescer
+    assert coalescer is not None
+    # count actual device launches by wrapping the real encoder
+    real = coalescer.encoder
+    calls = []
+
+    class _Counting:
+        cfg = real.cfg
+        max_batch = real.max_batch
+
+        def encode(self, obs):
+            calls.append(len(obs))
+            return real.encode(obs)
+
+    coalescer.encoder = _Counting()
+
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        results = {}
+
+        def one(i):
+            buf = io.BytesIO()
+            np.save(buf, np.asarray(ds.frames[i]))
+            req = urllib.request.Request(f"{base}/encode",
+                                         data=buf.getvalue(), method="POST")
+            with urllib.request.urlopen(req, timeout=60) as r:
+                results[i] = np.load(io.BytesIO(r.read()))
+
+        threads = [threading.Thread(target=one, args=(i,)) for i in range(8)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        for i in range(8):
+            np.testing.assert_allclose(results[i], exported[i], rtol=1e-4,
+                                       atol=1e-5)
+        # 8 concurrent single-frame requests must NOT cost 8 launches
+        assert len(calls) < 8, calls
+        assert sum(calls) == 8
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_coalescer_rejects_bad_shape_individually(synthetic_dataset,
+                                                  tmp_path):
+    """A malformed request fails alone with ValueError; a concurrent good
+    request in the same window still succeeds."""
+    from serve import BatchCoalescer
+
+    class _Enc:
+        class cfg:
+            img_height, img_width, n_channels = 8, 8, 3
+        max_batch = 4
+        def encode(self, obs):
+            return np.ones((len(obs), 2), np.float32)
+
+    co = BatchCoalescer(_Enc(), window_ms=20.0)
+    good = np.zeros((8, 8, 3), np.uint8)
+    bad = np.zeros((4, 4, 3), np.uint8)
+    out = {}
+    errs = {}
+
+    def call(name, obs):
+        try:
+            out[name] = co.encode(obs)
+        except ValueError as e:
+            errs[name] = e
+
+    ts = [threading.Thread(target=call, args=("good", good)),
+          threading.Thread(target=call, args=("bad", bad))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert out["good"].shape == (2,)
+    assert "bad" in errs
