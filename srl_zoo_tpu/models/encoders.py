@@ -74,7 +74,11 @@ def make_encoder(model_type: str, state_dim: int, dtype=jnp.float32) -> nn.Modul
         return CustomCNN(state_dim=state_dim, dtype=dtype)
     if model_type == "resnet":
         from srl_zoo_tpu.models.resnet import ResNet18
-        return ResNet18(state_dim=state_dim, dtype=dtype)
+        # s2d stem: identical convolution, regrouped for the MXU — wins
+        # every interleaved A/B rep on the chip (+1.3% mean, docs/PERF.md
+        # attempt 7); param tree is mode-agnostic so checkpoints/ports
+        # load either way.
+        return ResNet18(state_dim=state_dim, dtype=dtype, stem="s2d")
     if model_type == "mlp":
         return DenseEncoder(state_dim=state_dim, dtype=dtype)
     if model_type == "linear":

@@ -111,3 +111,52 @@ def test_encode_returns_mu():
     obs = jnp.ones((2, 32, 32, 3))
     mu = model.apply(variables, obs, train=False, method=SRLModules.encode)
     assert mu.shape == (2, 4)
+
+
+def test_resnet_s2d_stem_equivalence():
+    """The space-to-depth stem is the SAME convolution, regrouped (see
+    StemConv docstring): identical params, forward/weight-grad/input-grad
+    all match the direct 7x7/2 conv to float tolerance; odd spatial sizes
+    fall back to the direct path bit-exactly."""
+    from srl_zoo_tpu.models.resnet import StemConv
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 64, 64, 3))
+    direct, s2d = StemConv(mode="direct"), StemConv(mode="s2d")
+    variables = direct.init(rng, x)
+
+    out_d = direct.apply(variables, x)
+    out_s = s2d.apply(variables, x)
+    assert out_d.shape == out_s.shape == (2, 32, 32, 64)
+    np.testing.assert_allclose(out_s, out_d, rtol=1e-5, atol=1e-5)
+
+    def loss(mod, v, x):
+        return (mod.apply(v, x) ** 2).sum()
+
+    g_d = jax.grad(lambda v: loss(direct, v, x))(variables)
+    g_s = jax.grad(lambda v: loss(s2d, v, x))(variables)
+    np.testing.assert_allclose(g_s["params"]["kernel"],
+                               g_d["params"]["kernel"], rtol=1e-4, atol=1e-2)
+    gx_d = jax.grad(lambda x: loss(direct, variables, x))(x)
+    gx_s = jax.grad(lambda x: loss(s2d, variables, x))(x)
+    np.testing.assert_allclose(gx_s, gx_d, rtol=1e-4, atol=1e-3)
+
+    x_odd = jax.random.normal(rng, (2, 33, 33, 3))
+    v_odd = direct.init(rng, x_odd)
+    assert jnp.array_equal(direct.apply(v_odd, x_odd),
+                           s2d.apply(v_odd, x_odd))
+
+
+def test_resnet_stem_param_tree_mode_agnostic():
+    """Both stem modes own the canonical Conv_0/kernel [7,7,3,64] param, so
+    checkpoints and the torchvision port load into either."""
+    from srl_zoo_tpu.models.resnet import ResNet18
+
+    x = jnp.zeros((1, 32, 32, 3))
+    v_d = ResNet18(state_dim=4, stem="direct").init(
+        jax.random.PRNGKey(0), x, train=False)
+    v_s = ResNet18(state_dim=4, stem="s2d").init(
+        jax.random.PRNGKey(0), x, train=False)
+    assert v_d["params"]["Conv_0"]["kernel"].shape == (7, 7, 3, 64)
+    assert jax.tree_util.tree_structure(v_d) == \
+        jax.tree_util.tree_structure(v_s)
