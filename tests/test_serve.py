@@ -165,3 +165,36 @@ def test_coalescer_rejects_bad_shape_individually(synthetic_dataset,
         t.join()
     assert out["good"].shape == (2,)
     assert "bad" in errs
+
+
+def test_coalescer_multirow_and_overflow_groups():
+    """Batched requests keep their row order through a coalesced group, and
+    a group larger than max_batch still returns every caller its own rows
+    (StateEncoder chunks internally; the fake encoder tags rows by value)."""
+    from serve import BatchCoalescer
+
+    class _Enc:
+        class cfg:
+            img_height, img_width, n_channels = 8, 8, 3
+        max_batch = 4
+
+        def encode(self, obs):
+            # state = mean pixel value of the row -> identifies the request
+            return obs.reshape(len(obs), -1).mean(axis=1, dtype=np.float64)
+
+    co = BatchCoalescer(_Enc(), window_ms=30.0)
+    out = {}
+
+    def call(name, value, rows):
+        obs = np.full((rows, 8, 8, 3), value, np.uint8)
+        out[name] = co.encode(obs)
+
+    # 3 + 3 rows (> max_batch 4) arriving in one window
+    ts = [threading.Thread(target=call, args=("a", 10, 3)),
+          threading.Thread(target=call, args=("b", 200, 3))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    np.testing.assert_array_equal(out["a"], [10.0] * 3)
+    np.testing.assert_array_equal(out["b"], [200.0] * 3)
