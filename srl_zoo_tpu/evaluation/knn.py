@@ -6,10 +6,11 @@ neighbors and compute the MSE between their GROUND-TRUTH states and the
 query's; KNN-MSE is the mean over queries. Low = the learned space preserves
 ground-truth neighborhoods.
 
-TPU-native: the N x M distance matrix is one MXU matmul + fused broadcasts
-(ops/pairwise.py) instead of sklearn's host KD-tree — measured 9.4 ms vs
-6.5 s on 20k samples (v5e vs this host's single core). sklearn remains only
-as a cross-check in tests.
+TPU-native: fused Pallas distance + streaming top-k (ops/knn_topk.py) — the
+(chunk x N) distance block never leaves VMEM, vs sklearn's host KD-tree
+(measured 9.4 ms vs 6.5 s on 20k samples, v5e vs this host's single core)
+and 2.8x the materialize-and-lax.top_k XLA path at 100k samples (PERF.md
+attempt 8). sklearn remains only as a cross-check in tests.
 """
 
 from __future__ import annotations
@@ -20,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from srl_zoo_tpu.ops.pairwise import pairwise_sqdist
+from srl_zoo_tpu.ops.knn_topk import knn_topk
 
 
 def knn_mse(learned_states: np.ndarray, ground_truth_states: np.ndarray,
@@ -51,9 +52,8 @@ def knn_mse(learned_states: np.ndarray, ground_truth_states: np.ndarray,
     idx_chunks = []
     for start in range(0, len(queries), query_chunk):
         q = queries[start:start + query_chunk]
-        d2 = pairwise_sqdist(jnp.asarray(learned[q]), refs)
         # exclude self-matches: take k+1 smallest, drop the self column
-        _, idx = jax.lax.top_k(-d2, k + 1)
+        idx = knn_topk(jnp.asarray(learned[q]), refs, k + 1)
         idx_chunks.append(np.asarray(jax.device_get(idx)))
     idx = np.concatenate(idx_chunks, axis=0)
     # self-exclusion, vectorized (an O(Q*k) Python loop here dominated at
