@@ -204,12 +204,18 @@ def measure_link_mbps(n_bytes: int = 32 * 2**20, repeats: int = 3):
     arr = np.random.randint(0, 255, (n_bytes,), dtype=np.uint8)
     y = jax.device_put(arr)  # warm: allocator + any lazy backend setup
     _ = jax.device_get(y[:1])
+    # the fencing device_get costs a full tunnel round trip (~35 ms here) —
+    # subtract it or link_mbps reads ~19% low at 170 MB/s and an RTT spike
+    # masquerades as a bandwidth drop in the streaming-row normalization
+    t0 = time.perf_counter()
+    _ = jax.device_get(y[:1])
+    rtt = time.perf_counter() - t0
     rates = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         y = jax.device_put(arr)
         _ = jax.device_get(y[:1])  # slice runs on device after the transfer
-        dt = time.perf_counter() - t0
+        dt = max(time.perf_counter() - t0 - rtt, 1e-6)
         rates.append(n_bytes / dt / 2**20)
     return float(np.median(rates)), float(np.max(rates))
 

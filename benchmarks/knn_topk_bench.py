@@ -61,6 +61,8 @@ def full_chunked(x, k, chunk=4096):
 
 
 def main():
+    from srl_zoo_tpu.utils.platform import honor_env_platform
+    honor_env_platform()  # JAX_PLATFORMS alone is not binding on this host
     rng = np.random.RandomState(0)
     for n, d in [(20000, 200), (100000, 200)]:
         pts = rng.randn(n, d).astype(np.float32)

@@ -80,7 +80,16 @@ def gate_details(base_doc: dict, cur_doc: dict, band: float) -> list:
     b_link, c_link = base.get("link_mbps"), cur.get("link_mbps")
     rows = []
     for name in sorted(b_det):
-        if name.endswith("_error") or name not in c_det:
+        if name.endswith("_error"):
+            continue
+        if name not in c_det:
+            # a renamed/dropped row must not silently lose gate coverage:
+            # hard-gated families fail (when the current run reports details
+            # at all — a detail-less doc is a legacy format, report-only),
+            # report-only families still print
+            bad = name.startswith("cached_") and bool(c_det)
+            rows.append((name, "present in baseline, MISSING from current "
+                               "run", bad))
             continue
         b_v, c_v = float(b_det[name]), float(c_det[name])
         if b_v <= 0:

@@ -28,6 +28,17 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
+class CoalescedEncodeError(RuntimeError):
+    """A coalesced group's shared encode failed server-side.
+
+    Raised (wrapping the original) instead of re-raising the worker's
+    exception directly: every row was geometry-validated BEFORE enqueue, so
+    anything escaping the group encode — even a ValueError/TypeError from
+    np.concatenate or the jitted apply — is OUR fault, and must not fall
+    into the handler's (ValueError, TypeError) -> 400 client-error branch
+    (a 400 here would blind load balancers to a genuinely sick server)."""
+
+
 class BatchCoalescer:
     """Group concurrent /encode requests into one device batch.
 
@@ -46,10 +57,26 @@ class BatchCoalescer:
         self.max_rows = encoder.max_batch
         self._lock = threading.Lock()
         self._queue: list = []  # [(obs_batch, event, slot_dict)]
+        self._closed = False
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="srl-serve-coalescer")
         self._wake = threading.Event()
         self._thread.start()
+
+    def close(self, timeout: float = 5.0) -> None:
+        """Stop the worker thread; fail any still-queued requests.
+
+        Without this the daemon worker (and the StateEncoder it pins —
+        jitted fns + params) outlives server_close(), leaking one thread +
+        model per retired server in long-lived processes."""
+        with self._lock:
+            self._closed = True
+            pending, self._queue = self._queue, []
+        self._wake.set()
+        for _, done, slot in pending:
+            slot["err"] = CoalescedEncodeError("server shutting down")
+            done.set()
+        self._thread.join(timeout)
 
     def encode(self, obs: np.ndarray) -> np.ndarray:
         """Validate + enqueue one request; blocks until its states arrive."""
@@ -66,11 +93,17 @@ class BatchCoalescer:
         done = threading.Event()
         slot: dict = {}
         with self._lock:
+            if self._closed:
+                raise CoalescedEncodeError("coalescer is closed")
             self._queue.append((np.asarray(batch, np.uint8), done, slot))
         self._wake.set()
         done.wait()
         if "err" in slot:
-            raise slot["err"]
+            err = slot["err"]
+            if isinstance(err, CoalescedEncodeError):
+                raise err
+            raise CoalescedEncodeError(
+                f"group encode failed: {type(err).__name__}: {err}") from err
         states = slot["states"]
         return states[0] if single else states
 
@@ -78,6 +111,8 @@ class BatchCoalescer:
         while True:
             self._wake.wait()
             with self._lock:
+                if self._closed:
+                    return
                 if not self._queue:
                     self._wake.clear()
                     continue
@@ -90,7 +125,8 @@ class BatchCoalescer:
                 time.sleep(self.window_s / 10.0)
             with self._lock:
                 group, self._queue = self._queue, []
-                self._wake.clear()  # queue is now empty; next append re-sets
+                if not self._closed:  # keep close()'s wake-up visible
+                    self._wake.clear()  # queue drained; next append re-sets
             if not group:
                 continue
             try:
@@ -197,7 +233,14 @@ def build_server(log_folder: str, host: str = "127.0.0.1", port: int = 8080,
                             np.uint8))
     coalescer = BatchCoalescer(encoder, coalesce_ms) if coalesce_ms > 0 \
         else None
-    server = ThreadingHTTPServer(
+
+    class _Server(ThreadingHTTPServer):
+        def server_close(self):  # stop the coalescer worker with the server
+            if coalescer is not None:
+                coalescer.close()
+            super().server_close()
+
+    server = _Server(
         (host, port), make_handler(encoder, info, max_body_mb, coalescer))
     server.coalescer = coalescer  # introspectable (tests, ops tooling)
     return server

@@ -43,13 +43,20 @@ _CV2_POOL = None
 _CV2_POOL_LOCK = threading.Lock()
 
 
-def _cv2_pool() -> ThreadPoolExecutor:
+def _cv2_pool(num_threads: Optional[int] = None) -> ThreadPoolExecutor:
+    """Shared pool, grown (never shrunk) to the largest ``num_threads`` any
+    loader asked for — so --num-cpu still means something on wide hosts
+    instead of being silently capped by whichever loader built the pool
+    first."""
     global _CV2_POOL
+    want = num_threads or min(8, (os.cpu_count() or 1) * 2)
     with _CV2_POOL_LOCK:
+        if _CV2_POOL is not None and _CV2_POOL._max_workers < want:
+            _CV2_POOL.shutdown(wait=False)
+            _CV2_POOL = None
         if _CV2_POOL is None:
             _CV2_POOL = ThreadPoolExecutor(
-                max_workers=min(8, (os.cpu_count() or 1) * 2),
-                thread_name_prefix="cv2-decode")
+                max_workers=want, thread_name_prefix="cv2-decode")
         return _CV2_POOL
 
 
@@ -125,8 +132,8 @@ class DataLoader:
                                                 n_threads=self.num_threads)
             except FileNotFoundError:
                 pass  # fall through to cv2, which also handles other formats
-        imgs = list(_cv2_pool().map(lambda p: _decode_resize(p, self._hw),
-                                    paths))
+        imgs = list(_cv2_pool(self.num_threads).map(
+            lambda p: _decode_resize(p, self._hw), paths))
         return np.stack(imgs)
 
     def _resize_batch(self, imgs: np.ndarray) -> np.ndarray:

@@ -368,7 +368,10 @@ def knn_topk(q, refs, k: int, impl: str = "auto",
     if k > 64:
         raise ValueError(f"k={k} too large for the streaming buffers (<=64)")
     if impl == "auto":
-        if jax.default_backend() == "tpu":
+        # "axon" is this host's tunneled-TPU plugin name; default_backend()
+        # reports "tpu" here but guard both in case a plugin version keeps
+        # its own platform string
+        if jax.default_backend() in ("tpu", "axon"):
             impl = "pallas_t" if k <= _KR else "pallas"
         else:
             impl = "full"

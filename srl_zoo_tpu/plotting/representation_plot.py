@@ -80,22 +80,46 @@ class LiveView:
                 and not os.environ.get("DISPLAY") \
                 and not os.environ.get("WAYLAND_DISPLAY"):
             return None  # headless: no window server to draw on
+        prev = matplotlib.get_backend()
         try:
             plt.switch_backend("TkAgg")
             return cls()
         except Exception:
-            return None  # no GUI toolkit — fall back to the html view
+            # switch_backend only imports tkinter; a dead X connection
+            # (stale DISPLAY forward) surfaces as TclError from plt.figure()
+            # AFTER the global backend already changed — restore it or every
+            # later file plot (epoch_callback, export) inherits the broken
+            # TkAgg and kills the run
+            try:
+                plt.switch_backend(prev)
+            except Exception:
+                plt.switch_backend("Agg")
+            return None  # no usable GUI — fall back to the html view
 
     def update(self, states: np.ndarray, rewards: np.ndarray,
                title: str) -> None:
-        self.fig.clf()
-        _draw_states(self.fig, states, rewards, title)
-        self.fig.canvas.draw_idle()
-        plt.pause(0.001)  # hand the GUI event loop a tick
+        if self.fig is None:
+            return
+        try:
+            self.fig.clf()
+            _draw_states(self.fig, states, rewards, title)
+            self.fig.canvas.draw_idle()
+            plt.pause(0.001)  # hand the GUI event loop a tick
+        except Exception:
+            # the user closed the window (draw on a destroyed Tk canvas
+            # raises) — a cosmetic view must never abort a training run;
+            # go dark and leave the html view as the survivor
+            self.close()
 
     def close(self) -> None:
-        plt.ioff()
-        plt.close(self.fig)
+        if self.fig is None:
+            return
+        try:
+            plt.ioff()
+            plt.close(self.fig)
+        except Exception:
+            pass
+        self.fig = None
 
 
 def main(argv=None):

@@ -100,3 +100,31 @@ def test_perf_gate_detail_rows():
     rows = perf_gate.gate_details(legacy, cur, 0.15)
     row = {name: (desc, bad) for name, desc, bad in rows}["streaming_b"]
     assert "report-only" in row[0] and row[1] is False
+
+
+def test_perf_gate_missing_row_is_visible():
+    """A renamed/dropped bench row must not silently lose gate coverage:
+    missing cached_* rows fail, missing streaming_* rows still print."""
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "ci"))
+    try:
+        import perf_gate
+    finally:
+        sys.path.pop(0)
+
+    base = {"value": 17000.0, "link_mbps": 100.0,
+            "detail": {"cached_a": 17000.0, "streaming_b": 300.0}}
+    cur = {"value": 17000.0, "link_mbps": 100.0,
+           "detail": {"cached_other": 1.0}}
+    rows = {name: (desc, bad)
+            for name, desc, bad in perf_gate.gate_details(base, cur, 0.15)}
+    assert rows["cached_a"][1] is True
+    assert "MISSING" in rows["cached_a"][0]
+    assert rows["streaming_b"][1] is False  # report-only family
+    assert "MISSING" in rows["streaming_b"][0]
+    # a detail-less current doc is a legacy format, not a rename: report-only
+    rows = {n: (d, b) for n, d, b in
+            perf_gate.gate_details(base, {"value": 17000.0}, 0.15)}
+    assert rows["cached_a"][1] is False

@@ -263,3 +263,22 @@ def test_abandoned_iteration_does_not_leak_producer(synthetic_dataset):
     while threading.active_count() > before and _time.time() < deadline:
         _time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+def test_cv2_pool_grows_to_requested_threads():
+    """--num-cpu must keep meaning something for the cv2 fallback: the
+    shared pool grows to the largest request instead of being pinned at
+    whatever size its first caller picked (round-3 review)."""
+    from srl_zoo_tpu.data import loader as loader_mod
+
+    old = loader_mod._CV2_POOL
+    loader_mod._CV2_POOL = None
+    try:
+        small = loader_mod._cv2_pool(2)
+        assert small._max_workers == 2
+        big = loader_mod._cv2_pool(5)
+        assert big._max_workers == 5
+        assert loader_mod._cv2_pool(3) is big  # never shrinks
+    finally:
+        loader_mod._cv2_pool(1).shutdown(wait=False)
+        loader_mod._CV2_POOL = old

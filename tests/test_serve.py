@@ -5,6 +5,8 @@ import json
 import threading
 import urllib.request
 
+import pytest
+
 import numpy as np
 
 from srl_zoo_tpu.config import SRLConfig
@@ -198,3 +200,45 @@ def test_coalescer_multirow_and_overflow_groups():
         t.join()
     np.testing.assert_array_equal(out["a"], [10.0] * 3)
     np.testing.assert_array_equal(out["b"], [200.0] * 3)
+
+
+def test_coalescer_group_failure_is_server_error():
+    """Post-validation encode failures must NOT surface as ValueError (the
+    handler maps ValueError/TypeError to 400-client-error; a sick encoder
+    failing a whole group must stay a 500 so load balancers can see it)."""
+    from serve import BatchCoalescer, CoalescedEncodeError
+
+    class _Enc:
+        class cfg:
+            img_height, img_width, n_channels = 8, 8, 3
+        max_batch = 4
+
+        def encode(self, obs):
+            raise ValueError("backend blew up mid-batch")
+
+    co = BatchCoalescer(_Enc(), window_ms=5.0)
+    try:
+        with pytest.raises(CoalescedEncodeError, match="blew up"):
+            co.encode(np.zeros((8, 8, 3), np.uint8))
+    finally:
+        co.close()
+
+
+def test_coalescer_close_stops_worker_and_rejects():
+    from serve import BatchCoalescer, CoalescedEncodeError
+
+    class _Enc:
+        class cfg:
+            img_height, img_width, n_channels = 8, 8, 3
+        max_batch = 4
+
+        def encode(self, obs):
+            return np.ones((len(obs), 2), np.float32)
+
+    co = BatchCoalescer(_Enc(), window_ms=5.0)
+    assert co.encode(np.zeros((8, 8, 3), np.uint8)).shape == (2,)
+    co.close()
+    assert not co._thread.is_alive()
+    with pytest.raises(CoalescedEncodeError):
+        co.encode(np.zeros((8, 8, 3), np.uint8))
+    co.close()  # idempotent
