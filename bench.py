@@ -220,6 +220,25 @@ def measure_link_mbps(n_bytes: int = 32 * 2**20, repeats: int = 3):
     return float(np.median(rates)), float(np.max(rates))
 
 
+def bench_knn_topk(n: int = 20000, d: int = 200, k: int = 6,
+                   reps: int = 5) -> float:
+    """Queries/s of the production knn_topk path (all-points query, the
+    KNN-MSE shape). Chip-bound, so it sits with the cached_* gated rows."""
+    import jax
+    import jax.numpy as jnp
+
+    from srl_zoo_tpu.ops.knn_topk import knn_topk
+
+    x = jnp.asarray(np.random.RandomState(0).randn(n, d).astype(np.float32))
+    jax.device_get(knn_topk(x, x, k))  # compile
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(reps):
+        out = knn_topk(x, x, k)
+    jax.device_get(out)  # one fence for the async chain
+    return n * reps / (time.perf_counter() - t0)
+
+
 def main(argv=None):
     from srl_zoo_tpu.utils.platform import honor_env_platform
     honor_env_platform()
@@ -277,6 +296,15 @@ def main(argv=None):
         except Exception as e:  # keep the bench line parseable on failure
             results[name] = 0.0
             results[name + "_error"] = str(e)[:200]
+
+    # eval-path row: fused KNN top-k queries/s (PERF.md attempt 8) — the
+    # device half of KNN-MSE, hard-gated like the other cached_* rows
+    try:
+        results["cached_knn20k_qps"] = bench_knn_topk(
+            n=(2048 if args.smoke else 20000), d=(16 if args.smoke else 200))
+    except Exception as e:
+        results["cached_knn20k_qps"] = 0.0
+        results["cached_knn20k_qps_error"] = str(e)[:200]
 
     headline = results.get("cached_b512_bf16",
                            results.get("cached_smoke", 0.0))
