@@ -92,13 +92,13 @@ def main():
                     print(f"pallas_t({tq},{tr},{pname}): FAILED "
                           f"{type(e).__name__}: {str(e)[:120]}")
 
-        i_full = np.asarray(jax.device_get(_topk_full(x[:2048], x, K)))
-        i_pal = np.asarray(jax.device_get(_topk_pallas(x[:2048], x, K)))
+        i_full = np.asarray(jax.device_get(_topk_full(x[:2048], x, K)[1]))
+        i_pal = np.asarray(jax.device_get(_topk_pallas(x[:2048], x, K)[1]))
         print("agreement full-vs-pallas:", (i_full == i_pal).mean())
         for prec, pname in ((None, "dflt"), (jax.lax.Precision.HIGHEST, "hi")):
             # HIGHEST needs 6 MXU passes -> larger stack; tr=2048 fits VMEM
             i_t = np.asarray(jax.device_get(
-                _topk_pallas_t(x[:2048], x, K, tr=2048, precision=prec)))
+                _topk_pallas_t(x[:2048], x, K, tr=2048, precision=prec)[1]))
             print(f"agreement full-vs-pallas_t({pname}):", (i_full == i_t).mean())
 
 

@@ -48,14 +48,23 @@ def knn_mse(learned_states: np.ndarray, ground_truth_states: np.ndarray,
     else:
         queries = np.arange(n)
 
-    refs = jnp.asarray(learned)
-    idx_chunks = []
-    for start in range(0, len(queries), query_chunk):
-        q = queries[start:start + query_chunk]
-        # exclude self-matches: take k+1 smallest, drop the self column
-        idx = knn_topk(jnp.asarray(learned[q]), refs, k + 1)
-        idx_chunks.append(np.asarray(jax.device_get(idx)))
-    idx = np.concatenate(idx_chunks, axis=0)
+    # exclude self-matches: take k+1 smallest, drop the self column below
+    if jax.device_count() > 1 and n // jax.device_count() >= k + 1:
+        # multi-chip: reference set sharded over the mesh, candidates merged
+        # over ICI (ops/knn_topk.knn_topk_sharded) — one call, no chunking
+        # (the fused kernel never materializes the distance matrix)
+        from srl_zoo_tpu.ops.knn_topk import knn_topk_sharded
+        idx = np.asarray(jax.device_get(
+            knn_topk_sharded(jnp.asarray(learned[queries]),
+                             jnp.asarray(learned), k + 1)))
+    else:
+        refs = jnp.asarray(learned)
+        idx_chunks = []
+        for start in range(0, len(queries), query_chunk):
+            q = queries[start:start + query_chunk]
+            idx = knn_topk(jnp.asarray(learned[q]), refs, k + 1)
+            idx_chunks.append(np.asarray(jax.device_get(idx)))
+        idx = np.concatenate(idx_chunks, axis=0)
     # self-exclusion, vectorized (an O(Q*k) Python loop here dominated at
     # 100k+ queries): drop the self column when present, else the (k+1)-th
     keep = idx != queries[:, None]

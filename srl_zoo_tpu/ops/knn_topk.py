@@ -57,10 +57,10 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _topk_full(q: jnp.ndarray, refs: jnp.ndarray, k: int) -> jnp.ndarray:
+def _topk_full(q: jnp.ndarray, refs: jnp.ndarray, k: int):
     d2 = pairwise_sqdist(q, refs)
-    _, idx = jax.lax.top_k(-d2, k)
-    return idx.astype(jnp.int32)
+    neg, idx = jax.lax.top_k(-d2, k)
+    return -neg, idx.astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -100,7 +100,7 @@ def _topk_blocked(q: jnp.ndarray, refs: jnp.ndarray, k: int,
 
     init = (jnp.full((qn, k), _BIG), jnp.full((qn, k), -1, jnp.int32))
     (best_d, best_i), _ = jax.lax.scan(body, init, (tiles, offs))
-    return best_i
+    return best_d, best_i
 
 
 # ---------------------------------------------------------------------------
@@ -189,7 +189,7 @@ def _topk_pallas(q: jnp.ndarray, refs: jnp.ndarray, k: int,
     rp = rp.astype(compute_dtype)
 
     grid = (qpad // tq, npad // tr)
-    _, oi = pl.pallas_call(
+    od, oi = pl.pallas_call(
         functools.partial(_knn_kernel, k=k, n=n, tr=tr),
         out_shape=(jax.ShapeDtypeStruct((qpad, _KP), jnp.float32),
                    jax.ShapeDtypeStruct((qpad, _KP), jnp.int32)),
@@ -219,7 +219,7 @@ def _topk_pallas(q: jnp.ndarray, refs: jnp.ndarray, k: int,
         ),
         interpret=interpret,
     )(qp, rp, qq, rr)
-    return oi[:qn, :k]
+    return od[:qn, :k], oi[:qn, :k]
 
 
 # ---------------------------------------------------------------------------
@@ -320,7 +320,7 @@ def _topk_pallas_t(q: jnp.ndarray, refs: jnp.ndarray, k: int,
         refs.astype(jnp.float32)).astype(compute_dtype)
 
     grid = (qpad // tq, npad // tr)
-    _, oi = pl.pallas_call(
+    od, oi = pl.pallas_call(
         functools.partial(_knn_kernel_t, k=k, n=n, tr=tr,
                           precision=precision),
         out_shape=(jax.ShapeDtypeStruct((_KR, qpad), jnp.float32),
@@ -347,22 +347,20 @@ def _topk_pallas_t(q: jnp.ndarray, refs: jnp.ndarray, k: int,
         ),
         interpret=interpret,
     )(qp, rp)
-    return oi.T[:qn, :k]
+    return od.T[:qn, :k], oi.T[:qn, :k]
 
 
 # ---------------------------------------------------------------------------
 # public entry
 # ---------------------------------------------------------------------------
 
-def knn_topk(q, refs, k: int, impl: str = "auto",
-             interpret: bool = False) -> jnp.ndarray:
-    """Indices (Q, k), ascending distance, of each query's k nearest refs.
+def knn_topk_with_dist(q, refs, k: int, impl: str = "auto",
+                       interpret: bool = False):
+    """(distances, indices), each (Q, k) ascending — see knn_topk.
 
-    impl: "auto" picks per backend — on TPU the fused Pallas kernel
-    ("pallas_t" for k <= 8, else "pallas"; measured fastest, PERF.md
-    attempt 8), elsewhere the XLA "full" path (Pallas would need interpret
-    mode). Explicit: "pallas_t", "pallas", "blocked", "full".
-    """
+    Distances are squared Euclidean, computed at the impl's matmul
+    precision (bf16-truncated inputs on the MXU by default — the same
+    precision the index selection used, so they are self-consistent)."""
     if k > refs.shape[0]:
         raise ValueError(f"k={k} > {refs.shape[0]} reference points")
     if k > 64:
@@ -384,3 +382,74 @@ def knn_topk(q, refs, k: int, impl: str = "auto",
     if impl == "pallas_t":
         return _topk_pallas_t(q, refs, k, interpret=interpret)
     raise ValueError(f"unknown impl {impl!r}")
+
+
+def knn_topk(q, refs, k: int, impl: str = "auto",
+             interpret: bool = False) -> jnp.ndarray:
+    """Indices (Q, k), ascending distance, of each query's k nearest refs.
+
+    impl: "auto" picks per backend — on TPU the fused Pallas kernel
+    ("pallas_t" for k <= 8, else "pallas"; measured fastest, PERF.md
+    attempt 8), elsewhere the XLA "full" path (Pallas would need interpret
+    mode). Explicit: "pallas_t", "pallas", "blocked", "full".
+    """
+    return knn_topk_with_dist(q, refs, k, impl=impl, interpret=interpret)[1]
+
+
+# Padded reference rows for the sharded path: coordinate value large enough
+# that a pad row can never be a nearest neighbor, small enough that every
+# intermediate (d2 ~ D * _PAD_COORD**2) stays finite in float32.
+_PAD_COORD = 1e15
+
+
+def knn_topk_sharded(q, refs, k: int, mesh=None, impl: str = "auto",
+                     interpret: bool = False) -> jnp.ndarray:
+    """knn_topk with the REFERENCE set sharded over a device mesh.
+
+    Each device runs the fused local top-k on its reference shard (queries
+    replicated), then the (Q, k) candidate lists ride ICI via all_gather
+    and a final width-(devices*k) top_k merges them — reference-side HBM
+    scales d-ways, like ops/sharded_store.py does for frames. Falls back to
+    the single-device path on 1-device meshes or when a shard would hold
+    fewer than k points."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from srl_zoo_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = int(mesh.devices.size)
+    n, d = refs.shape
+    if n_dev == 1 or n // n_dev < k:
+        return knn_topk(q, refs, k, impl=impl, interpret=interpret)
+    if k > 64:
+        raise ValueError(f"k={k} too large for the streaming buffers (<=64)")
+
+    npad = _round_up(n, n_dev)
+    refs_p = jnp.full((npad, d), _PAD_COORD, jnp.float32
+                      ).at[:n].set(jnp.asarray(refs, jnp.float32))
+    refs_p = jax.device_put(refs_p, NamedSharding(mesh, P(DATA_AXIS)))
+    q = jax.device_put(jnp.asarray(q), NamedSharding(mesh, P()))
+    n_local = npad // n_dev
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        # outputs ARE replicated (all_gather), but the pallas_call inside
+        # blocks the static varying-manual-axes proof — vouch manually
+        check_vma=False)
+    def _local(qs, local_refs):
+        ld, li = knn_topk_with_dist(qs, local_refs, k, impl=impl,
+                                    interpret=interpret)
+        gi = li + jax.lax.axis_index(DATA_AXIS) * n_local
+        # (n_dev, Q, k) candidate lists, replicated after the gather
+        return (jax.lax.all_gather(ld, DATA_AXIS),
+                jax.lax.all_gather(gi, DATA_AXIS))
+
+    ld, gi = _local(q, refs_p)
+    qn = q.shape[0]
+    pool_d = jnp.moveaxis(ld, 0, 1).reshape(qn, n_dev * k)
+    pool_i = jnp.moveaxis(gi, 0, 1).reshape(qn, n_dev * k)
+    neg, sel = jax.lax.top_k(-pool_d, k)          # tiny final merge
+    return jnp.take_along_axis(pool_i, sel, axis=1)

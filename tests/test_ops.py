@@ -278,3 +278,40 @@ def test_knn_topk_ascending_and_validates():
         knn_topk(q, r2, 65)          # k over the streaming-buffer cap
     with pytest.raises(ValueError):
         knn_topk(q, r, 4, impl="nope")
+
+
+def test_knn_topk_with_dist(rng):
+    from srl_zoo_tpu.ops.knn_topk import knn_topk_with_dist
+    q = rng.randn(19, 9).astype(np.float32)
+    r = rng.randn(131, 9).astype(np.float32)
+    d, i = knn_topk_with_dist(q, r, 4)
+    want_d = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(
+        np.asarray(d), np.take_along_axis(want_d, np.asarray(i), axis=1),
+        rtol=1e-4, atol=1e-4)
+    assert (np.diff(np.asarray(d), axis=1) >= -1e-6).all()
+
+
+def test_knn_topk_sharded_matches_numpy(rng):
+    """Reference set sharded over the 8-device mesh; candidates merged via
+    all_gather — must agree with the single-device answer. 1003 refs is
+    deliberately not divisible by 8 (pad rows must never win)."""
+    from srl_zoo_tpu.ops.knn_topk import knn_topk_sharded
+    from srl_zoo_tpu.parallel.mesh import make_mesh
+    import jax
+    assert jax.device_count() == 8
+    mesh = make_mesh()
+    q = rng.randn(57, 21).astype(np.float32)
+    r = rng.randn(1003, 21).astype(np.float32)
+    got = np.asarray(knn_topk_sharded(q, r, 5, mesh=mesh))
+    assert (got == _np_knn(q, r, 5)).all()
+
+
+def test_knn_topk_sharded_small_shard_fallback(rng):
+    # 24 refs / 8 devices = 3 < k=5: must fall back to the plain path
+    from srl_zoo_tpu.ops.knn_topk import knn_topk_sharded
+    from srl_zoo_tpu.parallel.mesh import make_mesh
+    q = rng.randn(6, 4).astype(np.float32)
+    r = rng.randn(24, 4).astype(np.float32)
+    got = np.asarray(knn_topk_sharded(q, r, 5, mesh=make_mesh()))
+    assert (got == _np_knn(q, r, 5)).all()
