@@ -132,6 +132,10 @@ class SRLConfig:
     batch_size: int = 32
     epochs: int = 30
     learning_rate: float = 5e-3
+    # Accumulate gradients over this many minibatches before each optimizer
+    # update (optax.MultiSteps): effective batch = batch_size * grad_accum
+    # without the activation-memory cost of the larger batch. 1 = off.
+    grad_accum: int = 1
     seed: int = 1
     val_size: float = 0.2
     training_set_size: int = -1
@@ -186,6 +190,9 @@ class SRLConfig:
         if self.model_type not in VALID_MODELS:
             raise ValueError(f"Unknown model type '{self.model_type}'. "
                              f"Valid: {', '.join(VALID_MODELS)}")
+        if self.grad_accum < 1:
+            raise ValueError(f"grad_accum must be >= 1, got "
+                             f"{self.grad_accum}")
         if self.episode_prior_optimizer not in ("shared", "separate"):
             raise ValueError(
                 f"Unknown episode_prior_optimizer "
@@ -300,6 +307,7 @@ class SRLConfig:
             "data-folder": self.data_folder,
             "epochs": self.epochs,
             "learning-rate": self.learning_rate,
+            "grad-accum": self.grad_accum,
             "training-set-size": self.training_set_size,
             "log-folder": self.log_folder,
             "model-type": self.model_type,
@@ -356,6 +364,7 @@ class SRLConfig:
             batch_size=int(cfg.get("batch-size", 32)),
             epochs=int(cfg.get("epochs", 30)),
             learning_rate=float(cfg.get("learning-rate", 5e-3)),
+            grad_accum=int(cfg.get("grad-accum", 1)),
             seed=int(cfg.get("seed", 1)),
             val_size=float(cfg.get("val-size", 0.2)),
             training_set_size=int(cfg.get("training-set-size", -1)),
@@ -405,6 +414,7 @@ def build_config(args, losses: Dict[str, float], split_dims: Dict[str, int],
         batch_size=args.batch_size,
         epochs=args.epochs,
         learning_rate=args.learning_rate,
+        grad_accum=getattr(args, "grad_accum", 1),
         seed=args.seed,
         val_size=args.val_size,
         training_set_size=args.training_set_size,

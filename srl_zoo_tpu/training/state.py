@@ -31,13 +31,22 @@ def make_optimizer(cfg: SRLConfig) -> optax.GradientTransformation:
     transforms still apply in the same jitted step (same compiled program
     shape; no second apply/backward)."""
     adam = optax.adam(cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    tx: optax.GradientTransformation = adam
     if cfg.use_episode_prior and cfg.episode_prior_optimizer == "separate":
         disc_adam = optax.adam(cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
-        return optax.multi_transform(
+        tx = optax.multi_transform(
             {"rest": adam, "disc": disc_adam},
             lambda params: {k: ("disc" if k == "discriminator" else "rest")
                             for k in params})
-    return adam
+    if cfg.grad_accum > 1:
+        # accumulate the RUNNING MEAN of the last grad_accum gradients and
+        # apply one Adam update every grad_accum steps: effective batch
+        # batch_size*grad_accum at batch_size activation memory. Composes
+        # with multi_transform; the update stays one jitted call (zero
+        # updates on accumulating steps), so the epoch lax.scan shape is
+        # unchanged.
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum)
+    return tx
 
 
 def _dummy_batch_args(cfg: SRLConfig, batch_size: int):

@@ -528,3 +528,56 @@ def test_checkpointer_submit_after_close_raises(tmp_path):
     w.close()
     with pytest.raises(RuntimeError, match="closed"):
         w.save_model({}, {})
+
+
+def test_grad_accum_equals_big_batch(synthetic_dataset, tmp_path):
+    """--grad-accum N at batch b steps identically to one batch of N*b
+    (sample-mean loss, no BatchNorm -> mlp): MultiSteps accumulates the
+    running mean of the N gradients, which equals the big-batch gradient.
+    Compared under SGD (same rationale as the cached-scan test above)."""
+    import optax
+
+    from srl_zoo_tpu.data.loader import DataLoader
+    from srl_zoo_tpu.parallel.mesh import (make_mesh, replicated_sharding,
+                                           shard_batch)
+    from srl_zoo_tpu.training.state import create_train_state
+    from srl_zoo_tpu.training.train_step import build_steps
+
+    ds = synthetic_dataset
+    mesh = make_mesh(jax.devices()[:1])
+    idx = ds.training_indices()[:16]
+    rng_key = jax.random.PRNGKey(7)
+
+    results = []
+    for bs, accum in ((16, 1), (8, 2)):
+        cfg = _cfg(ds, tmp_path, epochs=1, batch_size=bs,
+                   model_type="mlp", grad_accum=accum)
+        model, state, _ = create_train_state(cfg, jax.random.PRNGKey(0))
+        tx = optax.sgd(0.05)
+        if accum > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        state = state.replace(opt_state=tx.init(state.params))
+        ts, _, _, _, _ = build_steps(cfg, model, tx)
+        state = jax.device_put(state, replicated_sharding(mesh))
+        loader = DataLoader(ds, idx, cfg, shuffle=False, seed=0,
+                            emit_images=True)
+        for batch in loader:
+            state, _ = ts(state, shard_batch(batch, mesh), rng_key, None)
+        results.append(jax.device_get(state.params))
+    for a, b in zip(jax.tree_util.tree_leaves(results[0]),
+                    jax.tree_util.tree_leaves(results[1])):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_grad_accum_learner_end_to_end(synthetic_dataset, tmp_path):
+    """The full learner path (cached epoch scan + Adam from make_optimizer)
+    trains with grad_accum > 1: finite decreasing loss, exp_config round
+    trip preserves the flag."""
+    ds = synthetic_dataset
+    cfg = _cfg(ds, tmp_path, epochs=2, batch_size=8, grad_accum=2)
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    learner.learn(ds)
+    tr = np.load(tmp_path / "run" / "loss_history.npz")["train/total"]
+    assert np.isfinite(tr).all() and tr[-1] < tr[0]
+    cfg.save(cfg.log_folder)
+    assert SRLConfig.load(cfg.log_folder).grad_accum == 2

@@ -68,6 +68,10 @@ def parse_args(argv=None) -> argparse.Namespace:
                         help="Oversample rare reward classes")
     parser.add_argument("--inverse-model-type", type=str, default="linear",
                         choices=["linear", "mlp"])
+    parser.add_argument("--grad-accum", type=int, default=1,
+                        help="Accumulate gradients over N minibatches per "
+                             "optimizer update (effective batch = N*bs at "
+                             "single-batch activation memory)")
     parser.add_argument("--episode-prior-optimizer", type=str,
                         default="shared", choices=["shared", "separate"],
                         help="Train the episode-prior discriminator through "
