@@ -82,3 +82,48 @@ def test_live_view_update_cycle(monkeypatch, rng):
     view.update(rng.randn(40, 2), rng.rand(40), "epoch 1")
     view.update(rng.randn(40, 8), rng.rand(40), "epoch 2")  # PCA path
     view.close()
+
+
+def test_live_view_dead_x_restores_backend(monkeypatch):
+    """A TkAgg switch that succeeds but whose figure creation fails (dead X
+    forward) must restore the prior backend — otherwise every later file
+    plot inherits the broken GUI backend and kills the run (round-3
+    review)."""
+    import matplotlib
+    import matplotlib.pyplot as plt
+
+    from srl_zoo_tpu.plotting import representation_plot as rp
+
+    before = matplotlib.get_backend()
+    monkeypatch.setenv("DISPLAY", ":0")
+
+    def fake_switch(name):
+        # emulate: switch_backend succeeds (only imports tkinter)...
+        matplotlib.rcParams["backend"] = name
+
+    monkeypatch.setattr(plt, "switch_backend", fake_switch)
+    monkeypatch.setattr(plt, "figure",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            RuntimeError("couldn't connect to display")))
+    assert rp.LiveView.create() is None
+    assert matplotlib.rcParams["backend"] == before
+
+
+def test_live_view_update_failure_goes_dark_not_fatal(monkeypatch, rng):
+    """The user closing the window mid-run (draw raises) must disable the
+    view, never abort training; close() is idempotent afterwards."""
+    import matplotlib.pyplot as plt
+
+    from srl_zoo_tpu.plotting import representation_plot as rp
+
+    monkeypatch.setenv("DISPLAY", ":0")
+    monkeypatch.setattr(plt, "switch_backend", lambda name: None)
+    monkeypatch.setattr(plt, "pause", lambda t: None)
+    view = rp.LiveView.create()
+    assert view is not None
+    view.fig.clf = lambda: (_ for _ in ()).throw(
+        RuntimeError("canvas destroyed"))
+    view.update(rng.randn(10, 2), rng.rand(10), "epoch 1")  # must not raise
+    assert view.fig is None  # went dark
+    view.update(rng.randn(10, 2), rng.rand(10), "epoch 2")  # no-op
+    view.close()  # idempotent
