@@ -49,14 +49,17 @@ def knn_mse(learned_states: np.ndarray, ground_truth_states: np.ndarray,
         queries = np.arange(n)
 
     # exclude self-matches: take k+1 smallest, drop the self column below
-    if jax.device_count() > 1 and n // jax.device_count() >= k + 1:
-        # multi-chip: reference set sharded over the mesh, candidates merged
-        # over ICI (ops/knn_topk.knn_topk_sharded) — one call, no chunking
-        # (the fused kernel never materializes the distance matrix)
+    if (jax.process_count() == 1 and jax.device_count() > 1
+            and n // jax.device_count() >= k + 1):
+        # single-process multi-chip: reference set sharded over the mesh,
+        # candidates merged over ICI (ops/knn_topk.knn_topk_sharded);
+        # query_chunk still bounds per-device memory on backends whose
+        # local impl materializes distances (multi-process runs keep the
+        # plain per-host path — the eval array is host-local there)
         from srl_zoo_tpu.ops.knn_topk import knn_topk_sharded
         idx = np.asarray(jax.device_get(
-            knn_topk_sharded(jnp.asarray(learned[queries]),
-                             jnp.asarray(learned), k + 1)))
+            knn_topk_sharded(learned[queries], learned, k + 1,
+                             query_chunk=query_chunk)))
     else:
         refs = jnp.asarray(learned)
         idx_chunks = []

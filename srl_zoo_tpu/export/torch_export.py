@@ -26,12 +26,15 @@ tests/test_torch_export.py):
   matching lax.reduce_window's -inf init).
 * resnet mirrors models/resnet.py exactly (torch-style explicit padding —
   it was built to match torchvision, reference models/models.py); the
-  state_dict uses torchvision resnet18 key names, so the export ALSO loads
-  into ``torchvision.models.resnet18(num_classes=state_dim)`` directly.
+  ``--state-dict`` export uses torchvision resnet18 key names (normalizer
+  buffers stripped), so it also loads into
+  ``torchvision.models.resnet18(num_classes=<fc width>)`` — fc width is
+  state_dim, or 2*state_dim for a VAE run (mu ‖ logvar head).
 * A VAE encoder's torch export returns mu (the deterministic state), same
   as StateEncoder/SRLModules.encode.
-* TorchScript (jit.script for the resnet, trace-compatible either way)
-  makes the artifact self-contained: loading it needs torch only, not this
+* TorchScript via ``torch.jit.trace`` (all control flow here is static —
+  pads and geometry are precomputed from the run's fixed image size) makes
+  the artifact self-contained: loading it needs torch only, not this
   package.
 """
 
@@ -291,8 +294,9 @@ def export_torch_encoder(log_folder: str, out_path: str | None = None,
     """Load a trained run and write ``encoder_torch.pt`` (+ meta json).
 
     torchscript=True (default) traces to a self-contained artifact loadable
-    with ``torch.jit.load`` alone; False saves a plain state_dict
-    (torchvision-compatible keys for resnet)."""
+    with ``torch.jit.load`` alone; False saves a plain state_dict with the
+    normalizer buffers stripped (torchvision-compatible keys for resnet —
+    the caller applies preprocessing themselves, per the meta json)."""
     import torch
 
     from srl_zoo_tpu.config import SRLConfig
@@ -311,11 +315,18 @@ def export_torch_encoder(log_folder: str, out_path: str | None = None,
             scripted = torch.jit.trace(module, example)
         scripted.save(out_path)
     else:
-        torch.save(module.state_dict(), out_path)
+        sd = module.state_dict()
+        # strict torchvision loading must not trip over our normalizer
+        # buffers; a bare state_dict consumer normalizes per the meta json
+        sd.pop("shift", None)
+        sd.pop("scale", None)
+        torch.save(sd, out_path)
     meta = {"input": "float32 NHWC in [0, 255] "
                      f"({cfg.img_height}x{cfg.img_width}x{cfg.n_channels})",
             "output": f"float32 (B, {cfg.state_dim}) states",
-            "normalization": f"applied inside ({cfg.normalize_mode})",
+            "normalization": ("applied inside" if torchscript else
+                              "NOT applied — apply yourself") +
+                             f" ({cfg.normalize_mode})",
             "model_type": cfg.model_type,
             "torchscript": torchscript}
     with open(out_path + ".json", "w") as f:

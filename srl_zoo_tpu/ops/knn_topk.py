@@ -38,6 +38,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -403,7 +404,8 @@ _PAD_COORD = 1e15
 
 
 def knn_topk_sharded(q, refs, k: int, mesh=None, impl: str = "auto",
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False,
+                     query_chunk: int | None = None) -> jnp.ndarray:
     """knn_topk with the REFERENCE set sharded over a device mesh.
 
     Each device runs the fused local top-k on its reference shard (queries
@@ -411,7 +413,13 @@ def knn_topk_sharded(q, refs, k: int, mesh=None, impl: str = "auto",
     and a final width-(devices*k) top_k merges them — reference-side HBM
     scales d-ways, like ops/sharded_store.py does for frames. Falls back to
     the single-device path on 1-device meshes or when a shard would hold
-    fewer than k points."""
+    fewer than k points.
+
+    ``query_chunk`` bounds per-device working memory when the local impl
+    materializes its (chunk, n_local) distance block (the XLA "full" path
+    on non-TPU backends; the Pallas kernels never materialize it). The
+    reference set is padded HOST-side and device_put directly onto the
+    sharded layout, so no single device ever stages the whole set."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from srl_zoo_tpu.parallel.mesh import DATA_AXIS, make_mesh
@@ -422,14 +430,13 @@ def knn_topk_sharded(q, refs, k: int, mesh=None, impl: str = "auto",
     n, d = refs.shape
     if n_dev == 1 or n // n_dev < k:
         return knn_topk(q, refs, k, impl=impl, interpret=interpret)
-    if k > 64:
-        raise ValueError(f"k={k} too large for the streaming buffers (<=64)")
 
     npad = _round_up(n, n_dev)
-    refs_p = jnp.full((npad, d), _PAD_COORD, jnp.float32
-                      ).at[:n].set(jnp.asarray(refs, jnp.float32))
-    refs_p = jax.device_put(refs_p, NamedSharding(mesh, P(DATA_AXIS)))
-    q = jax.device_put(jnp.asarray(q), NamedSharding(mesh, P()))
+    # host-side pad + direct sharded upload (no device-0 staging of the
+    # full set — the point of sharding is that it never fits one device)
+    refs_np = np.full((npad, d), _PAD_COORD, np.float32)
+    refs_np[:n] = np.asarray(refs, np.float32)
+    refs_p = jax.device_put(refs_np, NamedSharding(mesh, P(DATA_AXIS)))
     n_local = npad // n_dev
 
     @functools.partial(
@@ -447,9 +454,16 @@ def knn_topk_sharded(q, refs, k: int, mesh=None, impl: str = "auto",
         return (jax.lax.all_gather(ld, DATA_AXIS),
                 jax.lax.all_gather(gi, DATA_AXIS))
 
-    ld, gi = _local(q, refs_p)
-    qn = q.shape[0]
-    pool_d = jnp.moveaxis(ld, 0, 1).reshape(qn, n_dev * k)
-    pool_i = jnp.moveaxis(gi, 0, 1).reshape(qn, n_dev * k)
-    neg, sel = jax.lax.top_k(-pool_d, k)          # tiny final merge
-    return jnp.take_along_axis(pool_i, sel, axis=1)
+    q = np.asarray(q, np.float32)
+    chunk = len(q) if query_chunk is None else query_chunk
+    rep = NamedSharding(mesh, P())
+    out = []
+    for start in range(0, len(q), max(chunk, 1)):
+        qs = jax.device_put(jnp.asarray(q[start:start + chunk]), rep)
+        ld, gi = _local(qs, refs_p)
+        qn = qs.shape[0]
+        pool_d = jnp.moveaxis(ld, 0, 1).reshape(qn, n_dev * k)
+        pool_i = jnp.moveaxis(gi, 0, 1).reshape(qn, n_dev * k)
+        neg, sel = jax.lax.top_k(-pool_d, k)      # tiny final merge
+        out.append(jnp.take_along_axis(pool_i, sel, axis=1))
+    return out[0] if len(out) == 1 else jnp.concatenate(out, axis=0)

@@ -304,7 +304,13 @@ def test_knn_topk_sharded_matches_numpy(rng):
     q = rng.randn(57, 21).astype(np.float32)
     r = rng.randn(1003, 21).astype(np.float32)
     got = np.asarray(knn_topk_sharded(q, r, 5, mesh=mesh))
-    assert (got == _np_knn(q, r, 5)).all()
+    # loose like the full/blocked test: matmul-form f32 distances may flip
+    # exact ties vs numpy's subtract-square-sum form
+    assert (got == _np_knn(q, r, 5)).mean() > 0.999
+    # chunked queries must agree with the one-shot call exactly
+    chunked = np.asarray(knn_topk_sharded(q, r, 5, mesh=mesh,
+                                          query_chunk=13))
+    assert (chunked == got).all()
 
 
 def test_knn_topk_sharded_small_shard_fallback(rng):
@@ -314,4 +320,4 @@ def test_knn_topk_sharded_small_shard_fallback(rng):
     q = rng.randn(6, 4).astype(np.float32)
     r = rng.randn(24, 4).astype(np.float32)
     got = np.asarray(knn_topk_sharded(q, r, 5, mesh=make_mesh()))
-    assert (got == _np_knn(q, r, 5)).all()
+    assert (got == _np_knn(q, r, 5)).mean() > 0.999

@@ -130,3 +130,29 @@ def test_torch_export_cli_end_to_end(synthetic_dataset, tmp_path):
     with torch.no_grad():
         got = enc(torch.from_numpy(obs.astype(np.float32))).numpy()
     np.testing.assert_allclose(got, jenc.encode(obs), rtol=1e-4, atol=1e-4)
+
+
+def test_torch_export_state_dict_strips_normalizer(tmp_path):
+    """--state-dict artifacts must stay torchvision-strict-loadable: no
+    shift/scale normalizer buffers in the keys (round-3 review)."""
+    import torch
+
+    from srl_zoo_tpu.export.torch_export import export_torch_encoder
+
+    cfg = SRLConfig(state_dim=6, img_height=32, img_width=32,
+                    model_type="resnet")
+    model, variables = _random_variables(cfg, seed=11)
+
+    # fake a run folder: save cfg + model the way the learner does
+    from srl_zoo_tpu.training import checkpoint as ckpt
+    log = str(tmp_path / "run")
+    cfg2 = cfg.replace(log_folder=log)
+    ckpt.save_srl_model(log, variables["params"],
+                        variables.get("batch_stats", {}))
+    cfg2.save(log)
+
+    path = export_torch_encoder(log, torchscript=False)
+    sd = torch.load(path, weights_only=True)
+    assert "shift" not in sd and "scale" not in sd
+    assert "conv1.weight" in sd and "fc.weight" in sd  # torchvision names
+    assert "layer1.0.conv1.weight" in sd
