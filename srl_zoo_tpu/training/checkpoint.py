@@ -106,7 +106,19 @@ def restore_train_state(log_folder: str, template: TrainState
     if not os.path.exists(path):
         return None
     with open(path, "rb") as f:
-        return flax.serialization.from_bytes(template, f.read())
+        raw = f.read()
+    try:
+        return flax.serialization.from_bytes(template, raw)
+    except (ValueError, KeyError, TypeError) as e:
+        # a structure mismatch here is almost always a changed optimizer/
+        # model flag between the original run and the resume — surface that
+        # instead of flax's raw tree-mismatch error
+        raise ValueError(
+            f"Resume checkpoint in {log_folder} does not match the current "
+            "train state structure. --resume requires the SAME model and "
+            "optimizer flags as the original run (--model-type, --losses, "
+            "--state-dim, --grad-accum, --episode-prior-optimizer, ...); "
+            f"underlying error: {type(e).__name__}: {e}") from e
 
 
 # ---- async writer ----------------------------------------------------------------

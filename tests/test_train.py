@@ -581,3 +581,17 @@ def test_grad_accum_learner_end_to_end(synthetic_dataset, tmp_path):
     assert np.isfinite(tr).all() and tr[-1] < tr[0]
     cfg.save(cfg.log_folder)
     assert SRLConfig.load(cfg.log_folder).grad_accum == 2
+
+
+def test_resume_with_changed_optimizer_flags_fails_loudly(synthetic_dataset,
+                                                          tmp_path):
+    """Resuming with a different --grad-accum (optimizer-state structure
+    change) must raise the clear flag-mismatch error, not flax's raw
+    tree-mismatch (round-3 robustness)."""
+    ds = synthetic_dataset
+    cfg = _cfg(ds, tmp_path, epochs=1, batch_size=8)
+    SRL4robotics(cfg, log_folder=cfg.log_folder).learn(ds)
+
+    cfg2 = _cfg(ds, tmp_path, epochs=2, batch_size=8, grad_accum=2)
+    with pytest.raises(ValueError, match="SAME model and optimizer flags"):
+        SRL4robotics(cfg2, log_folder=cfg.log_folder).learn(ds, resume=True)
