@@ -21,6 +21,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     import torch
 
+    from srl_zoo_tpu.utils.platform import honor_env_platform
+    honor_env_platform()  # binding even on the cached-model path (CLAUDE.md)
+
     from srl_zoo_tpu.data.synthetic import generate_dataset
     from srl_zoo_tpu.export.torch_export import export_torch_encoder
     import train as train_cli

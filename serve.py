@@ -196,6 +196,20 @@ def make_handler(encoder, info: dict, max_body_mb: int = 256,
                     self._reply(400, f"expected uint8 pixels, got "
                                      f"{obs.dtype}".encode(), "text/plain")
                     return
+                # geometry validated HERE, on both the lock and coalescer
+                # paths: after this point any ValueError/TypeError escaping
+                # the encoder is a SERVER fault and must be a 500, or load
+                # balancers can't see a sick server (round-3 review — the
+                # old catch classified backend ValueErrors as 400s)
+                expected = (encoder.cfg.img_height, encoder.cfg.img_width,
+                            encoder.cfg.n_channels)
+                if obs.shape != expected and (
+                        obs.ndim != 4 or obs.shape[1:] != expected):
+                    self._reply(400, f"expected uint8 observations of shape "
+                                     f"{expected} (or batched (B, "
+                                     f"*{expected})), got "
+                                     f"{obs.shape}".encode(), "text/plain")
+                    return
             except Exception as e:  # malformed payload: the client's fault
                 self._reply(400, str(e).encode(), "text/plain")
                 return
@@ -204,12 +218,6 @@ def make_handler(encoder, info: dict, max_body_mb: int = 256,
                 buf = io.BytesIO()
                 np.save(buf, np.asarray(states, np.float32))
                 self._reply(200, buf.getvalue())
-            except (ValueError, TypeError) as e:
-                # bad shape/ndim/dtype surfaces as ValueError from the
-                # geometry check or TypeError from array coercion — both are
-                # the CLIENT's malformed request, and a 500 here would make
-                # load balancers eject a healthy server (ADVICE r2)
-                self._reply(400, str(e).encode(), "text/plain")
             except Exception as e:  # encoder/backend failure: OUR fault —
                 self._reply(500, str(e).encode(), "text/plain")  # let LBs see it
 

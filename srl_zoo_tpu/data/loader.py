@@ -47,13 +47,22 @@ def _cv2_pool(num_threads: Optional[int] = None) -> ThreadPoolExecutor:
     """Shared pool, grown (never shrunk) to the largest ``num_threads`` any
     loader asked for — so --num-cpu still means something on wide hosts
     instead of being silently capped by whichever loader built the pool
-    first."""
+    first.
+
+    Growth must NEVER shutdown the live pool (another loader's producer may
+    be mid-``map()``; shutdown makes its next submit raise). CPython's
+    executor spawns threads lazily up to _max_workers, so raising that
+    ceiling in place is race-free; if the private attr ever disappears we
+    abandon the old pool (bounded leak: one pool per distinct grow event)
+    rather than kill in-flight work."""
     global _CV2_POOL
     want = num_threads or min(8, (os.cpu_count() or 1) * 2)
     with _CV2_POOL_LOCK:
         if _CV2_POOL is not None and _CV2_POOL._max_workers < want:
-            _CV2_POOL.shutdown(wait=False)
-            _CV2_POOL = None
+            try:
+                _CV2_POOL._max_workers = want
+            except AttributeError:  # pragma: no cover — future CPython
+                _CV2_POOL = None
         if _CV2_POOL is None:
             _CV2_POOL = ThreadPoolExecutor(
                 max_workers=want, thread_name_prefix="cv2-decode")

@@ -77,9 +77,7 @@ def main(argv=None) -> str:
     p.add_argument("--n-steps", type=int, default=7)
     args = p.parse_args(argv)
 
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    from srl_zoo_tpu.plotting.agg import agg_subplots
 
     cfg = SRLConfig.load(args.log_folder)
     _, state, _ = ckpt.load_srl_model(args.log_folder, cfg)
@@ -89,7 +87,7 @@ def main(argv=None) -> str:
     grid = latent_sweep_grid(cfg, variables, sr["states"],
                              args.n_dims, args.n_steps)
     n_dims, n_steps = grid.shape[:2]
-    fig, axes = plt.subplots(n_dims, n_steps,
+    fig, axes = agg_subplots(n_dims, n_steps,
                              figsize=(1.6 * n_steps, 1.6 * n_dims))
     axes = np.atleast_2d(axes)
     for d in range(n_dims):
@@ -101,7 +99,6 @@ def main(argv=None) -> str:
     fig.tight_layout()
     out = os.path.join(args.log_folder, "latent_sweeps.png")
     fig.savefig(out, dpi=90)
-    plt.close(fig)
     printGreen(f"Saved {out}")
     return out
 

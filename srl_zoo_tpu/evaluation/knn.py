@@ -87,16 +87,13 @@ def save_neighbor_grids(data_folder: str, images_path: np.ndarray,
     (reference: knn_images.py image grid output)."""
     import os
 
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
     from srl_zoo_tpu.data.loader import _decode_resize
+    from srl_zoo_tpu.plotting.agg import agg_subplots
 
     os.makedirs(out_folder, exist_ok=True)
     k = neighbor_idx.shape[1]
     for g in range(min(n_grids, len(queries))):
-        fig, axes = plt.subplots(1, k + 1, figsize=(2 * (k + 1), 2.4))
+        fig, axes = agg_subplots(1, k + 1, figsize=(2 * (k + 1), 2.4))
         ids = [queries[g]] + list(neighbor_idx[g])
         titles = ["query"] + [f"nn{j + 1}" for j in range(k)]
         for ax, i, title in zip(axes, ids, titles):
@@ -110,4 +107,3 @@ def save_neighbor_grids(data_folder: str, images_path: np.ndarray,
             ax.axis("off")
         fig.tight_layout()
         fig.savefig(os.path.join(out_folder, f"knn_grid_{g}.png"), dpi=80)
-        plt.close(fig)

@@ -70,7 +70,7 @@ def _topk_full(q: jnp.ndarray, refs: jnp.ndarray, k: int):
 
 @functools.partial(jax.jit, static_argnames=("k", "tile"))
 def _topk_blocked(q: jnp.ndarray, refs: jnp.ndarray, k: int,
-                  tile: int = 2048) -> jnp.ndarray:
+                  tile: int = 2048):
     qn, n = q.shape[0], refs.shape[0]
     npad = _round_up(n, tile)
     q = q.astype(jnp.float32)
@@ -176,7 +176,7 @@ def _knn_kernel(q_ref, r_ref, qq_ref, rr_ref, od_ref, oi_ref, *, k, n, tr):
 def _topk_pallas(q: jnp.ndarray, refs: jnp.ndarray, k: int,
                  tq: int = 512, tr: int = 4096,
                  compute_dtype=jnp.float32,
-                 interpret: bool = False) -> jnp.ndarray:
+                 interpret: bool = False):
     qn, d = q.shape
     n = refs.shape[0]
     qpad, npad, dpad = _round_up(qn, tq), _round_up(n, tr), _round_up(d, 128)
@@ -309,7 +309,7 @@ def _knn_kernel_t(q_ref, r_ref, od_ref, oi_ref, *, k, n, tr,
 def _topk_pallas_t(q: jnp.ndarray, refs: jnp.ndarray, k: int,
                    tq: int = 1024, tr: int = 2048,
                    compute_dtype=jnp.float32, precision=None,
-                   interpret: bool = False) -> jnp.ndarray:
+                   interpret: bool = False):
     if k > _KR:
         raise ValueError(f"transposed kernel holds k <= {_KR} (got {k})")
     qn, d = q.shape
@@ -403,6 +403,35 @@ def knn_topk(q, refs, k: int, impl: str = "auto",
 _PAD_COORD = 1e15
 
 
+@functools.lru_cache(maxsize=32)
+def _sharded_local(mesh, k: int, impl: str, interpret: bool):
+    """The per-shard top-k + all_gather program, cached by (mesh, k, impl):
+    rebuilding the shard_map closure per call would defeat the pjit cache
+    and recompile the Pallas kernel on every knn_mse invocation. The local
+    shard size is read from the traced shapes, so one cached program serves
+    any reference-set size with the same mesh."""
+    from jax.sharding import PartitionSpec as P
+
+    from srl_zoo_tpu.parallel.mesh import DATA_AXIS
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        # outputs ARE replicated (all_gather), but the pallas_call inside
+        # blocks the static varying-manual-axes proof — vouch manually
+        check_vma=False)
+    def _local(qs, local_refs):
+        ld, li = knn_topk_with_dist(qs, local_refs, k, impl=impl,
+                                    interpret=interpret)
+        gi = li + jax.lax.axis_index(DATA_AXIS) * local_refs.shape[0]
+        # (n_dev, Q, k) candidate lists, replicated after the gather
+        return (jax.lax.all_gather(ld, DATA_AXIS),
+                jax.lax.all_gather(gi, DATA_AXIS))
+
+    return _local
+
+
 def knn_topk_sharded(q, refs, k: int, mesh=None, impl: str = "auto",
                      interpret: bool = False,
                      query_chunk: int | None = None) -> jnp.ndarray:
@@ -437,30 +466,17 @@ def knn_topk_sharded(q, refs, k: int, mesh=None, impl: str = "auto",
     refs_np = np.full((npad, d), _PAD_COORD, np.float32)
     refs_np[:n] = np.asarray(refs, np.float32)
     refs_p = jax.device_put(refs_np, NamedSharding(mesh, P(DATA_AXIS)))
-    n_local = npad // n_dev
-
-    @functools.partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS)),
-        out_specs=(P(), P()),
-        # outputs ARE replicated (all_gather), but the pallas_call inside
-        # blocks the static varying-manual-axes proof — vouch manually
-        check_vma=False)
-    def _local(qs, local_refs):
-        ld, li = knn_topk_with_dist(qs, local_refs, k, impl=impl,
-                                    interpret=interpret)
-        gi = li + jax.lax.axis_index(DATA_AXIS) * n_local
-        # (n_dev, Q, k) candidate lists, replicated after the gather
-        return (jax.lax.all_gather(ld, DATA_AXIS),
-                jax.lax.all_gather(gi, DATA_AXIS))
 
     q = np.asarray(q, np.float32)
-    chunk = len(q) if query_chunk is None else query_chunk
+    if len(q) == 0:
+        return jnp.zeros((0, k), jnp.int32)
+    local = _sharded_local(mesh, k, impl, interpret)
+    chunk = len(q) if query_chunk is None else max(query_chunk, 1)
     rep = NamedSharding(mesh, P())
     out = []
-    for start in range(0, len(q), max(chunk, 1)):
+    for start in range(0, len(q), chunk):
         qs = jax.device_put(jnp.asarray(q[start:start + chunk]), rep)
-        ld, gi = _local(qs, refs_p)
+        ld, gi = local(qs, refs_p)
         qn = qs.shape[0]
         pool_d = jnp.moveaxis(ld, 0, 1).reshape(qn, n_dev * k)
         pool_i = jnp.moveaxis(gi, 0, 1).reshape(qn, n_dev * k)

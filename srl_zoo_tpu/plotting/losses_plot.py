@@ -9,17 +9,16 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-import matplotlib
-matplotlib.use("Agg")
-import matplotlib.pyplot as plt  # noqa: E402
-import numpy as np  # noqa: E402
+import numpy as np
+
+from srl_zoo_tpu.plotting.agg import agg_subplots
 
 
 def plot_losses(history_path: str, save_path: Optional[str] = None):
     """Plot every train/val series in a loss_history.npz."""
     data = np.load(history_path)
     epochs = data["epoch"] if "epoch" in data else None
-    fig, ax = plt.subplots(figsize=(7, 5))
+    fig, ax = agg_subplots(figsize=(7, 5))
     for key in sorted(data.files):
         if key == "epoch" or key.endswith("/l1_reg"):
             continue
@@ -38,7 +37,6 @@ def plot_losses(history_path: str, save_path: Optional[str] = None):
     if save_path:
         os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
         fig.savefig(save_path, dpi=100)
-    plt.close(fig)
     return fig
 
 

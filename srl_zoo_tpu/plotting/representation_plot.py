@@ -15,6 +15,8 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 import numpy as np  # noqa: E402
 
+from srl_zoo_tpu.plotting.agg import agg_figure, agg_subplots  # noqa: E402
+
 
 def _project(states: np.ndarray, max_dim: int = 3) -> np.ndarray:
     """PCA-project to <= max_dim dims when needed (reference behavior for
@@ -51,12 +53,13 @@ def plot_representation(states: np.ndarray, rewards: np.ndarray,
                         save_path: Optional[str] = None,
                         title: str = "Learned state representation"):
     """Scatter of learned states colored by reward; 1D/2D/3D aware."""
-    fig = plt.figure(figsize=(6, 5))
+    # object-API Agg figure: file plots must render even when LiveView has
+    # switched the global backend to TkAgg and the X connection later died
+    fig = agg_figure(figsize=(6, 5))
     _draw_states(fig, states, rewards, title)
     if save_path:
         os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
         fig.savefig(save_path, dpi=100)
-    plt.close(fig)
     return fig
 
 
@@ -160,7 +163,7 @@ def plot_correlation(corr: np.ndarray, save_path: Optional[str] = None,
                      title: str = "Learned vs ground-truth correlation"):
     """Heatmap of the (D_learned, D_gt) correlation matrix
     (reference: plotCorrelation / --correlation)."""
-    fig, ax = plt.subplots(figsize=(6, 5))
+    fig, ax = agg_subplots(figsize=(6, 5))
     # nearest (not interpolated): gt typically has 2-3 dims, so smoothing
     # smears the few columns into unreadable gradients
     im = ax.imshow(np.abs(corr), cmap="viridis", vmin=0, vmax=1,
@@ -174,7 +177,6 @@ def plot_correlation(corr: np.ndarray, save_path: Optional[str] = None,
     if save_path:
         os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
         fig.savefig(save_path, dpi=100)
-    plt.close(fig)
     return fig
 
 

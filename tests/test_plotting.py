@@ -75,7 +75,10 @@ def test_live_view_update_cycle(monkeypatch, rng):
     from srl_zoo_tpu.plotting import representation_plot as rp
 
     monkeypatch.setenv("DISPLAY", ":0")
-    monkeypatch.setattr(plt, "switch_backend", lambda name: None)
+    orig_switch = plt.switch_backend
+    # resolve Agg while pretending the TkAgg switch succeeded (a pure no-op
+    # would leave pyplot's backend module unresolved under the patch)
+    monkeypatch.setattr(plt, "switch_backend", lambda name: orig_switch("Agg"))
     monkeypatch.setattr(plt, "pause", lambda t: None)  # no GUI event loop
     view = rp.LiveView.create()
     assert view is not None
@@ -117,7 +120,8 @@ def test_live_view_update_failure_goes_dark_not_fatal(monkeypatch, rng):
     from srl_zoo_tpu.plotting import representation_plot as rp
 
     monkeypatch.setenv("DISPLAY", ":0")
-    monkeypatch.setattr(plt, "switch_backend", lambda name: None)
+    orig_switch = plt.switch_backend
+    monkeypatch.setattr(plt, "switch_backend", lambda name: orig_switch("Agg"))
     monkeypatch.setattr(plt, "pause", lambda t: None)
     view = rp.LiveView.create()
     assert view is not None

@@ -242,3 +242,48 @@ def test_coalescer_close_stops_worker_and_rejects():
     with pytest.raises(CoalescedEncodeError):
         co.encode(np.zeros((8, 8, 3), np.uint8))
     co.close()  # idempotent
+
+
+def test_serve_backend_failure_is_500_without_coalescer(synthetic_dataset,
+                                                        tmp_path,
+                                                        monkeypatch):
+    """Geometry is validated in the handler, so a ValueError escaping the
+    encoder on the DEFAULT (lock) path is a server fault -> 500, never a
+    400 that blinds load balancers (round-3 review, final sweep)."""
+    import urllib.error
+
+    ds = synthetic_dataset
+    cfg = SRLConfig(state_dim=4, img_height=32, img_width=32, batch_size=16,
+                    epochs=1, losses=(("autoencoder", 1.0),),
+                    split_dims=(("autoencoder", -1),),
+                    log_folder=str(tmp_path / "srv500"))
+    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    learner.learn(ds)
+    cfg.save(cfg.log_folder)
+
+    from serve import build_server
+    server = build_server(cfg.log_folder, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        def post(obs):
+            buf = io.BytesIO()
+            np.save(buf, obs)
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/encode", data=buf.getvalue())
+            try:
+                return urllib.request.urlopen(req, timeout=30).status
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        assert post(np.zeros((7, 7, 3), np.uint8)) == 400  # client geometry
+        from srl_zoo_tpu.inference import StateEncoder
+        monkeypatch.setattr(
+            StateEncoder, "encode",
+            lambda self, obs: (_ for _ in ()).throw(
+                ValueError("backend exploded")))
+        assert post(np.zeros((32, 32, 3), np.uint8)) == 500  # server fault
+    finally:
+        server.shutdown()
+        server.server_close()
