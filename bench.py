@@ -239,6 +239,43 @@ def bench_knn_topk(n: int = 20000, d: int = 200, k: int = 6,
     return n * reps / (time.perf_counter() - t0)
 
 
+def _devices_with_watchdog(timeout_s: float = 240.0):
+    """First backend touch, bounded. The axon TPU tunnel has been observed to
+    hang during device enumeration (backend registers, jax.devices() never
+    returns — 2026-08-17 outage); an unguarded call here would hang the
+    driver's end-of-round bench run forever instead of producing a parseable
+    line. Enumerate in a daemon thread; on timeout print the JSON error line
+    and hard-exit (os._exit — the stuck enumeration thread holds locks a
+    clean interpreter shutdown would wait on)."""
+    import os
+    import threading
+
+    result = {}
+
+    def _enumerate():
+        import jax
+        result["devices"] = jax.devices()
+
+    t = threading.Thread(target=_enumerate, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in result:
+        print(json.dumps({
+            "metric": "images/sec/chip",
+            "value": 0.0,
+            "unit": "images/sec/chip",
+            "vs_baseline": 0.0,
+            "error": f"backend init timed out after {timeout_s:.0f}s — "
+                     "device enumeration hung (TPU tunnel outage, not a "
+                     "framework failure); see docs/STATUS.md",
+            "baseline_ips_torch_cpu": TORCH_CPU_BASELINE_IPS,
+        }))
+        import sys
+        sys.stdout.flush()
+        os._exit(1)
+    return result["devices"]
+
+
 def main(argv=None):
     from srl_zoo_tpu.utils.platform import honor_env_platform
     honor_env_platform()
@@ -269,7 +306,7 @@ def main(argv=None):
         }
         img, sd, steps = 224, 200, 20
 
-    device = jax.devices()[0]
+    device = _devices_with_watchdog()[0]
     link_mbps, link_mbps_max = measure_link_mbps(
         n_bytes=(2**20 if args.smoke else 32 * 2**20))
     results = {}

@@ -21,6 +21,32 @@ def test_bench_smoke_json_contract(capsys):
     assert rec["link_mbps_max"] >= rec["link_mbps"]
 
 
+def test_bench_backend_watchdog(tmp_path):
+    """A hung TPU tunnel (device enumeration never returns — observed on
+    this host 2026-08-17) must yield a parseable error line and a nonzero
+    exit, not an indefinite driver hang."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import sys, types, time, json\n"
+        "fake = types.ModuleType('jax')\n"
+        "fake.devices = lambda *a: time.sleep(600)\n"
+        "sys.modules['jax'] = fake\n"
+        "import bench\n"
+        "bench._devices_with_watchdog(timeout_s=1.0)\n"
+        "print('UNREACHABLE')\n"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], cwd=repo,
+                          capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 1
+    assert "UNREACHABLE" not in proc.stdout
+    rec = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert rec["value"] == 0.0
+    assert "timed out" in rec["error"]
+
+
 def test_perf_gate_paths(tmp_path):
     """The non-regression gate passes within the band, fails beyond it, and
     parses the driver's wrapped BENCH_r*.json format (SURVEY.md §4.5)."""
