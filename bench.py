@@ -239,41 +239,35 @@ def bench_knn_topk(n: int = 20000, d: int = 200, k: int = 6,
     return n * reps / (time.perf_counter() - t0)
 
 
-def _devices_with_watchdog(timeout_s: float = 240.0):
-    """First backend touch, bounded. The axon TPU tunnel has been observed to
-    hang during device enumeration (backend registers, jax.devices() never
-    returns — 2026-08-17 outage); an unguarded call here would hang the
-    driver's end-of-round bench run forever instead of producing a parseable
-    line. Enumerate in a daemon thread; on timeout print the JSON error line
-    and hard-exit (os._exit — the stuck enumeration thread holds locks a
-    clean interpreter shutdown would wait on)."""
+def _bail_with_error_line(error: str):
+    """Print the parseable one-JSON-line contract with an error field and
+    hard-exit (os._exit: a stuck backend thread holds client locks a clean
+    interpreter shutdown would wait on)."""
     import os
-    import threading
+    import sys
 
-    result = {}
+    print(json.dumps({
+        "metric": "images/sec/chip",
+        "value": 0.0,
+        "unit": "images/sec/chip",
+        "vs_baseline": 0.0,
+        "error": error,
+        "baseline_ips_torch_cpu": TORCH_CPU_BASELINE_IPS,
+    }))
+    sys.stdout.flush()
+    os._exit(1)
 
-    def _enumerate():
-        import jax
-        result["devices"] = jax.devices()
 
-    t = threading.Thread(target=_enumerate, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if "devices" not in result:
-        print(json.dumps({
-            "metric": "images/sec/chip",
-            "value": 0.0,
-            "unit": "images/sec/chip",
-            "vs_baseline": 0.0,
-            "error": f"backend init timed out after {timeout_s:.0f}s — "
-                     "device enumeration hung (TPU tunnel outage, not a "
-                     "framework failure); see docs/STATUS.md",
-            "baseline_ips_torch_cpu": TORCH_CPU_BASELINE_IPS,
-        }))
-        import sys
-        sys.stdout.flush()
-        os._exit(1)
-    return result["devices"]
+def _devices_with_watchdog(timeout_s: float = 240.0):
+    """First backend touch, bounded (srl_zoo_tpu.utils.platform helper). The
+    axon TPU tunnel has been observed to hang during device enumeration
+    (2026-08-17 outage); an unguarded call here would hang the driver's
+    end-of-round bench run forever instead of producing a parseable line."""
+    from srl_zoo_tpu.utils.platform import BackendInitTimeout, probe_backend
+    try:
+        return probe_backend(timeout_s)
+    except BackendInitTimeout as e:
+        _bail_with_error_line(f"{e}; see docs/STATUS.md")
 
 
 def main(argv=None):
@@ -306,30 +300,53 @@ def main(argv=None):
         }
         img, sd, steps = 224, 200, 20
 
+    from srl_zoo_tpu.utils.platform import BackendInitTimeout, run_bounded
+
     device = _devices_with_watchdog()[0]
-    link_mbps, link_mbps_max = measure_link_mbps(
-        n_bytes=(2**20 if args.smoke else 32 * 2**20))
     results = {}
+
+    def _bail_mid_run(stage: str, e: Exception):
+        # a tunnel that wedges AFTER enumeration would otherwise hang every
+        # remaining row: report what we have and exit parseably
+        _bail_with_error_line(
+            f"backend hung mid-run at {stage}: {e}; partial detail: "
+            + json.dumps({k: round(v, 2) for k, v in results.items()
+                          if isinstance(v, float)}))
+
+    try:
+        link_mbps, link_mbps_max = run_bounded(
+            lambda: measure_link_mbps(
+                n_bytes=(2**20 if args.smoke else 32 * 2**20)),
+            timeout_s=240, what="link-bandwidth measurement")
+    except BackendInitTimeout as e:
+        _bail_mid_run("link-bandwidth measurement", e)
+    except Exception as e:  # a failed transfer: record, keep benching
+        link_mbps, link_mbps_max = 0.0, 0.0
+        results["link_error"] = str(e)[:200]
+
     for name, (bs, dtype, cached, losses) in grid.items():
         try:
             if cached == "hybrid":
                 # over-budget dataset scenario: half cached, half streamed
-                results[name] = bench_hybrid(bs, img, sd, dtype,
-                                             steps=12, hot_frac=0.5,
-                                             losses=losses)
+                fn = lambda: bench_hybrid(bs, img, sd, dtype,
+                                          steps=12, hot_frac=0.5,
+                                          losses=losses)
             elif cached == "overlap":
-                results[name] = bench_train_step(bs, img, sd, dtype, False,
-                                                 steps=steps, warmup=2,
-                                                 losses=losses, overlap=True)
+                fn = lambda: bench_train_step(bs, img, sd, dtype, False,
+                                              steps=steps, warmup=2,
+                                              losses=losses, overlap=True)
             elif cached == "resnet":
-                results[name] = bench_train_step(bs, img, sd, dtype, True,
-                                                 steps=steps, warmup=2,
-                                                 losses=losses,
-                                                 model_type="resnet")
+                fn = lambda: bench_train_step(bs, img, sd, dtype, True,
+                                              steps=steps, warmup=2,
+                                              losses=losses,
+                                              model_type="resnet")
             else:
-                results[name] = bench_train_step(bs, img, sd, dtype, cached,
-                                                 steps=steps, warmup=2,
-                                                 losses=losses)
+                fn = lambda: bench_train_step(bs, img, sd, dtype, cached,
+                                              steps=steps, warmup=2,
+                                              losses=losses)
+            results[name] = run_bounded(fn, timeout_s=900, what=name)
+        except BackendInitTimeout as e:
+            _bail_mid_run(name, e)
         except Exception as e:  # keep the bench line parseable on failure
             results[name] = 0.0
             results[name + "_error"] = str(e)[:200]
@@ -337,8 +354,12 @@ def main(argv=None):
     # eval-path row: fused KNN top-k queries/s (PERF.md attempt 8) — the
     # device half of KNN-MSE, hard-gated like the other cached_* rows
     try:
-        results["cached_knn20k_qps"] = bench_knn_topk(
-            n=(2048 if args.smoke else 20000), d=(16 if args.smoke else 200))
+        results["cached_knn20k_qps"] = run_bounded(
+            lambda: bench_knn_topk(n=(2048 if args.smoke else 20000),
+                                   d=(16 if args.smoke else 200)),
+            timeout_s=900, what="cached_knn20k_qps")
+    except BackendInitTimeout as e:
+        _bail_mid_run("cached_knn20k_qps", e)
     except Exception as e:
         results["cached_knn20k_qps"] = 0.0
         results["cached_knn20k_qps_error"] = str(e)[:200]

@@ -143,10 +143,27 @@ def main(argv=None) -> int:
             # raw bench stdout: the JSON line is the last line
             cur_doc = json.loads(text.strip().splitlines()[-1])
     else:
-        import jax
-        if jax.devices()[0].platform not in ("tpu", "axon"):
+        sys.path.insert(0, REPO)
+        try:
+            from srl_zoo_tpu.utils.platform import (BackendInitTimeout,
+                                                    honor_env_platform,
+                                                    probe_backend)
+        finally:
+            sys.path.pop(0)
+        # JAX_PLATFORMS=cpu must be binding here like in every other CLI
+        # (the axon sitecustomize overrides the env var after it is read)
+        honor_env_platform()
+        try:
+            # bounded first backend touch: a wedged tunnel must fail the
+            # gate loudly, not hang it forever (same outage mode bench.py's
+            # watchdog covers — this check runs BEFORE bench.py gets a say)
+            platform = probe_backend()[0].platform
+        except BackendInitTimeout as e:
+            print(f"perf_gate: FAIL — {e}")
+            return 1
+        if platform not in ("tpu", "axon"):
             print(f"perf_gate: SKIP — no TPU here "
-                  f"(platform={jax.devices()[0].platform}); baselines in "
+                  f"(platform={platform}); baselines in "
                   f"{os.path.basename(base_path)} are TPU numbers")
             return 0
         out = subprocess.run([sys.executable,

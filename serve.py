@@ -137,10 +137,30 @@ class BatchCoalescer:
                     slot["states"] = states[off:off + len(b)]
                     off += len(b)
                     done.set()
-            except Exception as e:
+            except BaseException as e:
+                # deliver the failure to the WHOLE group: a worker that died
+                # without setting the events would wedge every pending and
+                # future request forever (encode()'s done.wait() is
+                # unbounded by design — requests must not time out under
+                # device compile stalls)
                 for _, done, slot in group:
                     slot["err"] = e
                     done.set()
+                if not isinstance(e, Exception):
+                    # SystemExit/KeyboardInterrupt-class escaping library
+                    # code: close the coalescer so future encodes raise
+                    # instead of enqueueing onto a dead worker, fail the
+                    # queue, and exit (the error already reached every
+                    # caller via its slot; re-raising in a daemon thread
+                    # reaches only the threading excepthook)
+                    with self._lock:
+                        self._closed = True
+                        pending, self._queue = self._queue, []
+                    for _, done, slot in pending:
+                        slot["err"] = CoalescedEncodeError(
+                            f"coalescer worker died: {e!r}")
+                        done.set()
+                    return
 
 
 def make_handler(encoder, info: dict, max_body_mb: int = 256,

@@ -457,8 +457,20 @@ def knn_topk_sharded(q, refs, k: int, mesh=None, impl: str = "auto",
         mesh = make_mesh()
     n_dev = int(mesh.devices.size)
     n, d = refs.shape
+    if len(q) == 0:
+        return jnp.zeros((0, k), jnp.int32)
     if n_dev == 1 or n // n_dev < k:
-        return knn_topk(q, refs, k, impl=impl, interpret=interpret)
+        # single-device fallback still honors query_chunk: the XLA "full"
+        # impl materializes a (chunk, N) distance block, so an unchunked
+        # fallback would quietly void the memory bound the caller asked for
+        # (e.g. 100k x 100k f32 = 40 GB at query_chunk=4096)
+        if query_chunk is None or len(q) <= query_chunk:
+            return knn_topk(q, refs, k, impl=impl, interpret=interpret)
+        qc = np.asarray(q, np.float32)
+        return jnp.concatenate(
+            [knn_topk(qc[s:s + query_chunk], refs, k, impl=impl,
+                      interpret=interpret)
+             for s in range(0, len(qc), query_chunk)], axis=0)
 
     npad = _round_up(n, n_dev)
     # host-side pad + direct sharded upload (no device-0 staging of the
@@ -468,8 +480,6 @@ def knn_topk_sharded(q, refs, k: int, mesh=None, impl: str = "auto",
     refs_p = jax.device_put(refs_np, NamedSharding(mesh, P(DATA_AXIS)))
 
     q = np.asarray(q, np.float32)
-    if len(q) == 0:
-        return jnp.zeros((0, k), jnp.int32)
     local = _sharded_local(mesh, k, impl, interpret)
     chunk = len(q) if query_chunk is None else max(query_chunk, 1)
     rep = NamedSharding(mesh, P())

@@ -27,6 +27,55 @@ import os
 _PLUGIN_DEFAULTS = ("", None, "axon,cpu", "axon")
 
 
+class BackendInitTimeout(RuntimeError):
+    """The first backend touch did not return within the bound — the axon
+    tunnel has been observed to wedge during device enumeration (2026-08-17
+    outage: backend registers, jax.devices() never returns). A bounded, loud
+    failure the caller can record beats an infinite hang of the driver's
+    bench/compile gates."""
+
+
+def run_bounded(fn, timeout_s: float, what: str):
+    """Run ``fn()`` in a daemon thread; return its result, re-raise its real
+    exception, or raise :class:`BackendInitTimeout` after ``timeout_s``.
+
+    For backend-touching calls ONLY (enumeration, first transfer): on timeout
+    the stuck thread keeps running and may hold client locks, so the process
+    should finish its reporting and exit rather than retry the backend."""
+    import threading
+
+    box = {}
+
+    def _call():
+        try:
+            box["result"] = fn()
+        except BaseException as e:  # surfaced to the caller below
+            box["error"] = e
+
+    t = threading.Thread(target=_call, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "error" in box:
+        raise box["error"]
+    if "result" not in box:
+        raise BackendInitTimeout(
+            f"{what} timed out after {timeout_s:.0f}s — backend hung "
+            "(TPU tunnel outage on this host, not a framework failure); "
+            "retry when the tunnel recovers")
+    return box["result"]
+
+
+def probe_backend(timeout_s: float = 240.0):
+    """Bounded first backend touch: returns ``jax.devices()`` or raises
+    :class:`BackendInitTimeout`. Use before any driver-critical compile/bench
+    so a hung tunnel produces a recordable failure, not an infinite hang."""
+    def _touch():
+        import jax
+        return jax.devices()
+
+    return run_bounded(_touch, timeout_s, "device enumeration")
+
+
 def honor_env_platform() -> None:
     env = os.environ.get("JAX_PLATFORMS", "").strip()
     if not env:

@@ -80,6 +80,34 @@ def test_perf_gate_paths(tmp_path):
     assert run(base_val * 0.80) == 1   # regression
 
 
+def test_perf_gate_fails_loudly_on_backend_timeout(monkeypatch, capsys):
+    """perf_gate's own first backend touch is bounded: a wedged tunnel fails
+    the gate with a message instead of hanging it before bench.py ever
+    runs."""
+    import sys
+
+    import srl_zoo_tpu.utils.platform as plat
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "ci"))
+    try:
+        import perf_gate
+    finally:
+        sys.path.pop(0)
+    if perf_gate.latest_baseline() is None:
+        import pytest
+        pytest.skip("no BENCH_r*.json baseline in this checkout")
+
+    def hung_probe(timeout_s=240.0):
+        raise plat.BackendInitTimeout("device enumeration timed out (test)")
+
+    monkeypatch.setattr(plat, "probe_backend", hung_probe)
+    rc = perf_gate.main([])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "FAIL" in out and "timed out" in out
+
+
 def test_perf_gate_detail_rows():
     """Detail-row gating (VERDICT r2 weak #3): cached_* rows are hard-gated;
     streaming_* rows compare img/s per link-MB/s so a slow tunnel day is not

@@ -27,6 +27,29 @@ def test_entry_compiles_and_runs():
     assert recon.shape == args[1].shape  # NHWC reconstruction
 
 
+def test_entry_backend_probe_times_out():
+    """A hung backend enumeration (the 2026-08-17 tunnel outage mode) must
+    raise a bounded, clearly-worded error from entry(), not hang the
+    driver's compile check forever. Simulated in a subprocess with a fake
+    jax whose devices() never returns."""
+    code = (
+        "import sys, types, time\n"
+        "fake = types.ModuleType('jax')\n"
+        "fake.devices = lambda *a: time.sleep(600)\n"
+        "sys.modules['jax'] = fake\n"
+        "import __graft_entry__ as g\n"
+        "try:\n"
+        "    g._probe_backend(timeout_s=1.0)\n"
+        "except RuntimeError as e:\n"
+        "    assert 'timed out' in str(e), e\n"
+        "    print('PROBE_RAISED')\n"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], cwd=REPO,
+                          capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr
+    assert "PROBE_RAISED" in proc.stdout
+
+
 def test_dryrun_multichip_in_process():
     """conftest already forces 8 virtual CPU devices; the dryrun must run
     against them without resetting anything."""

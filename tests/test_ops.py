@@ -321,3 +321,31 @@ def test_knn_topk_sharded_small_shard_fallback(rng):
     r = rng.randn(24, 4).astype(np.float32)
     got = np.asarray(knn_topk_sharded(q, r, 5, mesh=make_mesh()))
     assert (got == _np_knn(q, r, 5)).mean() > 0.999
+
+
+def test_knn_topk_sharded_fallback_honors_query_chunk(rng):
+    """The single-device/small-shard fallback must still chunk queries —
+    dropping query_chunk there voids the caller's memory bound (the XLA
+    'full' impl materializes a (chunk, N) distance block)."""
+    from unittest import mock
+
+    import srl_zoo_tpu.ops.knn_topk as kt
+    from srl_zoo_tpu.parallel.mesh import make_mesh
+
+    q = rng.randn(37, 4).astype(np.float32)
+    r = rng.randn(24, 4).astype(np.float32)
+    seen = []
+    real = kt.knn_topk_with_dist
+
+    def spy(qs, refs, k, **kw):
+        seen.append(len(qs))
+        return real(qs, refs, k, **kw)
+
+    with mock.patch.object(kt, "knn_topk_with_dist", side_effect=spy):
+        got = np.asarray(kt.knn_topk_sharded(q, r, 5, mesh=make_mesh(),
+                                             query_chunk=10))
+    assert max(seen) <= 10 and sum(seen) == 37
+    assert (got == _np_knn(q, r, 5)).mean() > 0.999
+    # zero queries stay well-formed on every path
+    assert kt.knn_topk_sharded(q[:0], r, 5, mesh=make_mesh(),
+                               query_chunk=10).shape == (0, 5)

@@ -60,3 +60,41 @@ def test_in_process_pin_beats_env():
                           capture_output=True, text=True, timeout=300)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "PLATFORM=cpu" in proc.stdout, proc.stdout
+
+
+def test_run_bounded_timeout_raises():
+    """The shared backend watchdog (bench.py, __graft_entry__, perf_gate all
+    delegate here): a call that never returns raises BackendInitTimeout
+    within the bound instead of hanging the caller."""
+    import time
+
+    import pytest
+
+    from srl_zoo_tpu.utils.platform import BackendInitTimeout, run_bounded
+
+    t0 = time.monotonic()
+    with pytest.raises(BackendInitTimeout, match="tunnel outage"):
+        run_bounded(lambda: time.sleep(600), timeout_s=0.5, what="probe")
+    assert time.monotonic() - t0 < 30
+
+
+def test_run_bounded_surfaces_real_exception_and_result():
+    import pytest
+
+    from srl_zoo_tpu.utils.platform import run_bounded
+
+    assert run_bounded(lambda: 41 + 1, timeout_s=5, what="x") == 42
+
+    def boom():
+        raise KeyError("real cause")
+
+    with pytest.raises(KeyError, match="real cause"):
+        run_bounded(boom, timeout_s=5, what="x")
+
+
+def test_probe_backend_returns_devices():
+    import jax
+
+    from srl_zoo_tpu.utils.platform import probe_backend
+
+    assert len(probe_backend(timeout_s=120)) == len(jax.devices())

@@ -224,6 +224,31 @@ def test_coalescer_group_failure_is_server_error():
         co.close()
 
 
+def test_coalescer_worker_survives_base_exception():
+    """A BaseException (SystemExit-class) escaping the group encode must
+    fail the caller and CLOSE the coalescer — not die silently and wedge
+    every pending and future request in an unbounded done.wait()."""
+    from serve import BatchCoalescer, CoalescedEncodeError
+
+    class _Enc:
+        class cfg:
+            img_height, img_width, n_channels = 8, 8, 3
+        max_batch = 4
+
+        def encode(self, obs):
+            raise SystemExit("deep library bailout")
+
+    co = BatchCoalescer(_Enc(), window_ms=5.0)
+    with pytest.raises(CoalescedEncodeError, match="bailout"):
+        co.encode(np.zeros((8, 8, 3), np.uint8))
+    # worker died with the BaseException; future requests must fail fast,
+    # not enqueue onto a dead worker and block forever
+    co._thread.join(5.0)
+    assert not co._thread.is_alive()
+    with pytest.raises(CoalescedEncodeError):
+        co.encode(np.zeros((8, 8, 3), np.uint8))
+
+
 def test_coalescer_close_stops_worker_and_rejects():
     from serve import BatchCoalescer, CoalescedEncodeError
 
