@@ -80,6 +80,35 @@ def test_perf_gate_paths(tmp_path):
     assert run(base_val * 0.80) == 1   # regression
 
 
+def test_bench_mid_run_wedge_bails_with_partial_detail():
+    """A tunnel that wedges AFTER enumeration (a row's compile never
+    returns) must print the parseable error line carrying the rows already
+    measured, then exit 1 — not hang the remaining rows."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import srl_zoo_tpu.utils.platform as plat\n"
+        "orig = plat.run_bounded\n"
+        "def fake(fn, timeout_s, what):\n"
+        "    if what == 'cached_smoke':\n"
+        "        raise plat.BackendInitTimeout(f'{what} timed out (test)')\n"
+        "    return orig(fn, timeout_s, what)\n"
+        "plat.run_bounded = fake\n"
+        "import bench\n"
+        "bench.main(['--smoke'])\n"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run([sys.executable, "-c", code], cwd=repo, env=env,
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 1
+    rec = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert rec["value"] == 0.0
+    assert "cached_smoke" in rec["error"] and "partial detail" in rec["error"]
+
+
 def test_perf_gate_fails_loudly_on_backend_timeout(monkeypatch, capsys):
     """perf_gate's own first backend touch is bounded: a wedged tunnel fails
     the gate with a message instead of hanging it before bench.py ever
