@@ -191,6 +191,9 @@ def main(argv=None):
                    help="JSON grid config (overrides the flags above)")
     args = p.parse_args(argv)
 
+    from srl_zoo_tpu.utils.platform import require_backend_or_die
+    require_backend_or_die()
+
     from srl_zoo_tpu.utils.compilation_cache import enable_compilation_cache
     enable_compilation_cache()
 

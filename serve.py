@@ -292,6 +292,8 @@ def main(argv=None):
                         "launch; single-client latency grows by at most "
                         "the window")
     args = p.parse_args(argv)
+    from srl_zoo_tpu.utils.platform import require_backend_or_die
+    require_backend_or_die()
     server = build_server(args.log_folder, args.host, args.port,
                           args.max_batch, args.max_body_mb,
                           args.coalesce_ms)

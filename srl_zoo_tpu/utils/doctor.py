@@ -47,8 +47,21 @@ def main(argv=None) -> int:
     import jax
 
     from srl_zoo_tpu.data import device_cache as dc
+    from srl_zoo_tpu.utils.platform import BackendInitTimeout, probe_backend
 
-    devices = jax.devices()
+    try:
+        # the first backend touch is the one place this host's tunnel has
+        # been observed to wedge (device enumeration never returns) — the
+        # doctor must DIAGNOSE that outage, not hang on it
+        devices = probe_backend(timeout_s=120)
+    except BackendInitTimeout as e:
+        from srl_zoo_tpu.utils import printRed
+        printRed(f"backend init FAILED: {e}")
+        printRed("diagnosis: the platform plugin registered but device "
+                 "enumeration hung — a transport/tunnel outage. Training "
+                 "and benchmarks will hang too; retry later or run on CPU "
+                 "with JAX_PLATFORMS=cpu.")
+        return 2
     plat = devices[0].platform
     printGreen(f"devices: {len(devices)} x {devices[0].device_kind} "
                f"(platform={plat}); processes: {jax.process_count()}")

@@ -76,6 +76,25 @@ def probe_backend(timeout_s: float = 240.0):
     return run_bounded(_touch, timeout_s, "device enumeration")
 
 
+def require_backend_or_die(timeout_s: float = 240.0) -> None:
+    """CLI guard (single-process only — multi-host enumeration legitimately
+    blocks until every process joins): bounded first backend touch; on a
+    wedged transport print a diagnosis and exit 2 instead of hanging
+    forever. utils/doctor.py gives the same diagnosis standalone."""
+    try:
+        probe_backend(timeout_s)
+    except BackendInitTimeout as e:
+        import sys
+
+        from srl_zoo_tpu.utils import printRed
+        printRed(f"backend init FAILED: {e}")
+        printRed("diagnosis: the platform plugin registered but device "
+                 "enumeration hung — a transport/tunnel outage, not a "
+                 "framework failure. Retry later, or run on CPU with "
+                 "JAX_PLATFORMS=cpu.")
+        sys.exit(2)
+
+
 def honor_env_platform() -> None:
     env = os.environ.get("JAX_PLATFORMS", "").strip()
     if not env:

@@ -160,5 +160,11 @@ def test_dryrun_after_entry_same_process():
          "fn, a = g.entry(); jax.jit(fn)(*a); "
          "g.dryrun_multichip(8)"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+    if proc.returncode != 0 and "BackendInitTimeout" in proc.stderr:
+        # entry() runs on the ambient (axon/TPU) platform by design here;
+        # during a tunnel outage its bounded probe fires and driver
+        # fidelity cannot be evaluated — an environmental skip, not a pass
+        pytest.skip("TPU tunnel outage: entry()'s bounded backend probe "
+                    "fired in the child")
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "sharded train step OK" in proc.stdout

@@ -98,3 +98,24 @@ def test_probe_backend_returns_devices():
     from srl_zoo_tpu.utils.platform import probe_backend
 
     assert len(probe_backend(timeout_s=120)) == len(jax.devices())
+
+
+def test_require_backend_or_die_exits_2(monkeypatch, capsys):
+    """The CLI guard (train/pipeline/serve single-process mains) turns a
+    wedged transport into a diagnosed exit-2, not an infinite hang."""
+    import pytest
+
+    import srl_zoo_tpu.utils.platform as plat
+
+    def hung(timeout_s=240.0):
+        raise plat.BackendInitTimeout("device enumeration timed out (test)")
+
+    monkeypatch.setattr(plat, "probe_backend", hung)
+    with pytest.raises(SystemExit) as exc:
+        plat.require_backend_or_die()
+    assert exc.value.code == 2
+    assert "diagnosis" in capsys.readouterr().out
+
+    # and the happy path is a no-op
+    monkeypatch.setattr(plat, "probe_backend", lambda timeout_s=240.0: [1])
+    plat.require_backend_or_die()

@@ -163,6 +163,11 @@ def main(argv=None):
         initialize_distributed(coordinator_address=args.coordinator_address,
                                num_processes=args.num_processes,
                                process_id=args.process_id)
+    else:
+        # bounded first backend touch: a wedged device transport fails in
+        # minutes with a diagnosis instead of hanging the run forever
+        from srl_zoo_tpu.utils.platform import require_backend_or_die
+        require_backend_or_die()
 
     dataset_name = parseDataFolder(args.data_folder)
     data_folder = args.data_folder if os.path.isdir(args.data_folder) \
