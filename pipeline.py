@@ -27,7 +27,8 @@ from srl_zoo_tpu.utils import parseDataFolder, printGreen, printRed, printYellow
 
 def check_dataset(data_folder: str, img_size: int) -> None:
     """Validate / build the dataset npz schema (preprocess stage)."""
-    from srl_zoo_tpu.preprocessing.preprocess import (build_frames_cache,
+    from srl_zoo_tpu.preprocessing.preprocess import (_dataset_length,
+                                                      build_frames_cache,
                                                       frames_cache_stale,
                                                       preprocess_folder)
     if not os.path.isdir(data_folder):
@@ -37,9 +38,11 @@ def check_dataset(data_folder: str, img_size: int) -> None:
     if not os.path.exists(os.path.join(data_folder, "preprocessed_data.npz")):
         printYellow("preprocessed_data.npz missing — running preprocessing")
         preprocess_folder(data_folder)
-    # same staleness rule as the preprocess CLI: a wrong-resolution
-    # frames.npy would silently disable the HBM cache for the whole grid
-    if frames_cache_stale(os.path.join(data_folder, "frames.npy"), img_size):
+    # same staleness rule as the preprocess CLI: a wrong-resolution or
+    # wrong-length frames.npy would silently disable the HBM cache (or
+    # gather garbage rows) for the whole grid
+    if frames_cache_stale(os.path.join(data_folder, "frames.npy"), img_size,
+                          n_expected=_dataset_length(data_folder)):
         try:
             build_frames_cache(data_folder, img_size)
         except Exception as e:  # jpg-less synthetic datasets keep working

@@ -65,15 +65,30 @@ def cache_nbytes(dataset: Dataset, needs_view2: bool = True
     return n
 
 
-def fits(dataset: Dataset, hw: tuple, needs_view2: bool,
-         max_bytes: Optional[int] = None) -> bool:
-    """Can this dataset be FULLY cached on device at the training resolution?"""
-    max_bytes = DEFAULT_MAX_BYTES if max_bytes is None else max_bytes
+def _views_cacheable(dataset: Dataset, hw: tuple, needs_view2: bool) -> bool:
+    """Every view that build_cache would upload exists AT the training
+    resolution. frames_2 must be resolution-checked like frames: a stale
+    different-size view-2 cache (e.g. only view 1 rebuilt after an
+    --img-size change) would otherwise be uploaded and crash the jitted
+    step with an opaque shape error, where the streaming path (per-batch
+    host resize) handles it — 'auto' must fall back to streaming instead."""
     if dataset.frames is None:
         return False
     if tuple(dataset.frames.shape[1:3]) != tuple(hw):
         return False  # host-side resize path required
-    if needs_view2 and dataset.frames_2 is None:
+    if needs_view2:
+        if dataset.frames_2 is None:
+            return False
+        if tuple(dataset.frames_2.shape[1:3]) != tuple(hw):
+            return False
+    return True
+
+
+def fits(dataset: Dataset, hw: tuple, needs_view2: bool,
+         max_bytes: Optional[int] = None) -> bool:
+    """Can this dataset be FULLY cached on device at the training resolution?"""
+    max_bytes = DEFAULT_MAX_BYTES if max_bytes is None else max_bytes
+    if not _views_cacheable(dataset, hw, needs_view2):
         return False
     n = cache_nbytes(dataset, needs_view2)
     return n is not None and n <= max_bytes
@@ -87,11 +102,7 @@ def hybrid_hot_n(dataset: Dataset, hw: tuple, needs_view2: bool,
     resolution, or the budget holds too few frames to be worth a second
     compiled program)."""
     max_bytes = DEFAULT_MAX_BYTES if max_bytes is None else max_bytes
-    if dataset.frames is None:
-        return 0
-    if tuple(dataset.frames.shape[1:3]) != tuple(hw):
-        return 0
-    if needs_view2 and dataset.frames_2 is None:
+    if not _views_cacheable(dataset, hw, needs_view2):
         return 0
     per = _frame_nbytes(dataset, needs_view2)
     hot = min(dataset.n_samples, max_bytes // per)

@@ -95,10 +95,19 @@ class DataLoader:
                  shuffle: bool = True, seed: int = 0, wraparound: bool = True,
                  num_threads: Optional[int] = None, prefetch: int = 3,
                  max_queue_len: Optional[int] = None,
-                 emit_images: bool = True):
+                 emit_images: bool = True,
+                 neg_pool: Optional[np.ndarray] = None):
         """``emit_images=False`` is the HBM-cache mode: batches carry only
         index arrays and metadata; the jitted step gathers pixels from the
-        device-resident frame store (data/device_cache.py)."""
+        device-resident frame store (data/device_cache.py).
+
+        ``neg_pool`` is the index pool triplet negatives are drawn from
+        (default: this loader's own indices). The hybrid cold phase passes
+        the FULL training split here: its negatives are decoded from disk by
+        index, so restricting them to the cold partition would needlessly
+        bias negatives toward a temporal suffix of the dataset. (The hot
+        phase has no such freedom — its negative gather must hit the
+        resident prefix.)"""
         self.ds = dataset
         self.indices = np.asarray(indices, np.int32)
         self.cfg = cfg
@@ -111,6 +120,8 @@ class DataLoader:
         self._epoch = 0
         self._hw = (cfg.img_height, cfg.img_width)
         self._max_queue = max_queue_len
+        self._neg_pool = np.asarray(neg_pool, np.int32) \
+            if neg_pool is not None else self.indices
         self._episode_ids = dataset.episode_ids
 
     def __len__(self) -> int:
@@ -184,7 +195,7 @@ class DataLoader:
             batch["next_obs"] = self._observation(nxt)
         if cfg.use_triplet:
             negs = samplers.triplet_negatives(idx, self._episode_ids,
-                                              self.indices, rng)
+                                              self._neg_pool, rng)
             if self.emit_images:
                 batch["pos_obs"] = self._fetch_images(idx, view=1)
                 batch["neg_obs"] = self._fetch_images(negs, view=0)

@@ -94,6 +94,32 @@ def discretize_rewards(rewards: np.ndarray) -> np.ndarray:
     return np.searchsorted(uniq, rewards).astype(np.int32)
 
 
+def _load_frames_checked(path: str, n: int):
+    """mmap a frames cache, DROPPING it (with a loud hint) on a length
+    mismatch. A dataset re-recorded/re-preprocessed to a different length
+    can leave a same-resolution stale frames.npy behind; keeping it would
+    be silent data corruption in cached mode — the in-jit gather is
+    ``jnp.take`` whose out-of-bounds mode FILLS (uint8 -> 255), so every
+    sample past the stale length would train on garbage white frames with
+    no error raised anywhere."""
+    try:
+        arr = np.load(path, mmap_mode="r")
+    except (ValueError, OSError) as e:
+        from srl_zoo_tpu.utils import printYellow
+        printYellow(f"{os.path.basename(path)} is unreadable ({e}) — "
+                    "ignoring it; re-run preprocessing to rebuild")
+        return None
+    if len(arr) != n:
+        from srl_zoo_tpu.utils import printYellow
+        printYellow(
+            f"{os.path.basename(path)} holds {len(arr)} frames but the "
+            f"dataset has {n} samples — STALE cache ignored (was the "
+            "dataset re-recorded?); re-run preprocessing to rebuild it "
+            "and restore the HBM-cache fast path")
+        return None
+    return arr
+
+
 def load_dataset(data_folder: str, load_frames_memmap: bool = True) -> Dataset:
     """Load a dataset folder following the reference npz schema."""
     pre = np.load(os.path.join(data_folder, "preprocessed_data.npz"))
@@ -110,20 +136,20 @@ def load_dataset(data_folder: str, load_frames_memmap: bool = True) -> Dataset:
     if "images_path_2" in gt:
         images_path_2 = np.asarray(gt["images_path_2"]).astype(str)
 
-    frames = frames_2 = None
-    fpath = os.path.join(data_folder, "frames.npy")
-    if load_frames_memmap and os.path.exists(fpath):
-        frames = np.load(fpath, mmap_mode="r")
-    fpath2 = os.path.join(data_folder, "frames_2.npy")
-    if load_frames_memmap and os.path.exists(fpath2):
-        frames_2 = np.load(fpath2, mmap_mode="r")
-
     n = len(actions)
     for name, arr in [("rewards", rewards), ("episode_starts", episode_starts),
                       ("ground_truth_states", gts), ("images_path", images_path)]:
         if len(arr) != n:
             raise ValueError(f"Dataset field '{name}' has length {len(arr)}, "
                              f"expected {n} (actions)")
+
+    frames = frames_2 = None
+    fpath = os.path.join(data_folder, "frames.npy")
+    if load_frames_memmap and os.path.exists(fpath):
+        frames = _load_frames_checked(fpath, n)
+    fpath2 = os.path.join(data_folder, "frames_2.npy")
+    if load_frames_memmap and os.path.exists(fpath2):
+        frames_2 = _load_frames_checked(fpath2, n)
 
     return Dataset(
         data_folder=data_folder,

@@ -99,12 +99,15 @@ def preprocess_folder(data_folder: str) -> None:
                f"{', multi-view' if images_2 else ''})")
 
 
-def frames_cache_stale(path: str, img_size: int) -> bool:
-    """Rebuild when missing OR recorded at a different resolution — a
-    silently kept wrong-size frames.npy disables the HBM device cache
-    (device_cache.fits rejects it) and training falls back to host-link
-    streaming with no hint why. Shared by the preprocess CLI and
-    pipeline.check_dataset so both entry points agree."""
+def frames_cache_stale(path: str, img_size: int,
+                       n_expected: int | None = None) -> bool:
+    """Rebuild when missing, recorded at a different resolution, OR holding
+    a different number of frames than the dataset (a re-recorded dataset
+    leaves a same-resolution stale cache behind; schema.load_dataset drops
+    such a cache at runtime, but the preprocess/pipeline entry points
+    should REBUILD it). A silently kept wrong frames.npy either disables
+    the HBM device cache or, worse, gathers garbage rows. Shared by the
+    preprocess CLI and pipeline.check_dataset so both entry points agree."""
     if not os.path.exists(path):
         return True
     try:
@@ -120,7 +123,23 @@ def frames_cache_stale(path: str, img_size: int) -> bool:
         printYellow(f"{os.path.basename(path)} is {shape[1]}x{shape[2]} "
                     f"but --img-size is {img_size} — rebuilding")
         return True
+    if n_expected is not None and shape[0] != n_expected:
+        printYellow(f"{os.path.basename(path)} holds {shape[0]} frames but "
+                    f"the dataset has {n_expected} samples — rebuilding")
+        return True
     return False
+
+
+def _dataset_length(data_folder: str) -> int | None:
+    """Number of samples per ground_truth.npz images_path (the array the
+    frames cache is built from), or None when the file is absent."""
+    gt_path = os.path.join(data_folder, "ground_truth.npz")
+    if not os.path.exists(gt_path):
+        return None
+    try:
+        return len(np.load(gt_path, allow_pickle=True)["images_path"])
+    except (ValueError, OSError, KeyError):
+        return None
 
 
 def build_frames_cache(data_folder: str, img_size: int = 224,
@@ -183,9 +202,10 @@ def main(argv=None):
     else:
         printYellow("preprocessed_data.npz already present — skipping "
                     "episode concatenation")
+    n_ds = _dataset_length(args.data_folder)
     if not args.no_frames_cache and \
             frames_cache_stale(os.path.join(args.data_folder, "frames.npy"),
-                               args.img_size):
+                               args.img_size, n_expected=n_ds):
         build_frames_cache(args.data_folder, args.img_size)
     has_view2 = args.multi_view
     gt_path = os.path.join(args.data_folder, "ground_truth.npz")
@@ -194,7 +214,7 @@ def main(argv=None):
     if has_view2 and not args.no_frames_cache and \
             frames_cache_stale(
                 os.path.join(args.data_folder, "frames_2.npy"),
-                args.img_size):
+                args.img_size, n_expected=n_ds):
         build_frames_cache(args.data_folder, args.img_size, view_suffix="_2")
 
 

@@ -28,7 +28,8 @@ from srl_zoo_tpu.training import checkpoint as ckpt
 from srl_zoo_tpu.training.metrics import MetricsLogger
 from srl_zoo_tpu.training.state import create_train_state
 from srl_zoo_tpu.training.train_step import build_steps
-from srl_zoo_tpu.utils import printGreen, printYellow, set_global_seeds
+from srl_zoo_tpu.utils import (printGreen, printRed, printYellow,
+                               set_global_seeds)
 
 
 @jax.jit
@@ -116,6 +117,16 @@ class SRL4robotics:
                 f"--device-cache sharded needs --batch-size divisible by the "
                 f"device count (got {cfg.batch_size} on {n_dev} devices): "
                 "the reduce-scatter gather hands each device B/d rows")
+        if n_dev > 1 and cfg.batch_size % n_dev:
+            # shard_batch falls back to REPLICATING non-divisible arrays —
+            # correct but every chip redundantly computes the full batch, a
+            # silent n_dev x throughput cliff nobody would connect to the
+            # batch size
+            printYellow(
+                f"--batch-size {cfg.batch_size} is not divisible by the "
+                f"{n_dev}-device mesh: batches will be REPLICATED (each "
+                f"device computes all rows, ~{n_dev}x slower than sharded). "
+                f"Use a multiple of {n_dev}.")
         self.rng = jax.random.PRNGKey(cfg.seed)
         self.rng, init_rng = jax.random.split(self.rng)
         self.model, self.state, self.tx = create_train_state(cfg, init_rng)
@@ -249,11 +260,18 @@ class SRL4robotics:
                                       emit_images=False,
                                       num_threads=cfg.num_cpu), True))
         if not hot_mask.all():
+            # neg_pool=indices: the cold phase streams pixels from disk, so
+            # its triplet negatives may come from ANYWHERE in the split —
+            # restricting them to the cold partition would bias negatives
+            # toward a temporal suffix of the dataset. The hot phase cannot
+            # get the same treatment (its negative gather must hit the
+            # resident prefix); that residual bias is documented in STATUS.
             phases.append((DataLoader(dataset, indices[~hot_mask], cfg,
                                       shuffle=shuffle, seed=cfg.seed,
                                       wraparound=wraparound,
                                       emit_images=True,
-                                      num_threads=cfg.num_cpu), False))
+                                      num_threads=cfg.num_cpu,
+                                      neg_pool=indices), False))
         return phases
 
     def _load_pretrained_encoder(self, weights_path: str) -> None:
@@ -490,11 +508,23 @@ class SRL4robotics:
 
         model_file = os.path.join(self.log_folder, ckpt.MODEL_FILE)
         if improved_this_run or not os.path.exists(model_file):
+            if not improved_this_run and not np.isfinite(best_val):
+                # every epoch's val loss was NaN/inf: best_params still
+                # holds the INITIAL weights — export them for the artifact
+                # contract, but say so loudly instead of printing a quiet
+                # "Best validation loss: inf"
+                printRed(
+                    "validation loss was never finite — the run diverged; "
+                    "the exported srl_model.msgpack is the INITIAL "
+                    "(untrained) weights. Check --lr/--losses/--dtype.")
             # keep the best-val weights for export (reference behavior); the
             # copies live on device already — no host round trip
             self.state = self.state.replace(params=best_params[0],
                                             batch_stats=best_params[1])
-            ckpt_writer.save_model(*best_params)
+            if not improved_this_run:
+                # improvements were queued at the epoch that made them; only
+                # a run that never improved has nothing queued yet
+                ckpt_writer.save_model(*best_params)
         else:
             # resumed without beating the pre-crash best: the on-disk best
             # model stays authoritative — reload it so the post-training
@@ -545,6 +575,15 @@ class SRL4robotics:
         indices = np.asarray(indices, np.int32)
         cache = self._ensure_cache(dataset)
         rep = replicated_sharding(self.mesh)
+        # shard the export batches over the mesh like training does —
+        # replicated inputs would make every device redundantly encode the
+        # full batch (~n_dev x slower export). Multi-process runs keep the
+        # replicated layout (a global device_put needs per-process local
+        # shards; the export volume doesn't justify that plumbing).
+        n_dev = self.mesh.devices.size
+        from srl_zoo_tpu.parallel.mesh import batch_sharding
+        bs_shard = batch_sharding(self.mesh) \
+            if jax.process_count() == 1 else rep
 
         def encode_subset(subset: np.ndarray, subset_cache) -> np.ndarray:
             loader = DataLoader(dataset, subset, cfg, shuffle=False,
@@ -554,7 +593,9 @@ class SRL4robotics:
             out = []
             for batch in loader:
                 key = "indices" if subset_cache is not None else "obs"
-                arg = jax.device_put(batch[key], rep)
+                arr = batch[key]
+                sh = bs_shard if arr.shape[0] % n_dev == 0 else rep
+                arg = jax.device_put(arr, sh)
                 states_dev = self.encode_step(self.state, arg, subset_cache)
                 if not states_dev.is_fully_addressable:
                     # multi-process + sharded frame store: the gathered rows

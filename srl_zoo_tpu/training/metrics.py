@@ -57,6 +57,32 @@ class MetricsLogger:
         self._jsonl.write(json.dumps(rec) + "\n")
         self._jsonl.flush()
 
+    def _truncate_jsonl(self, epoch: int) -> None:
+        """Resume companion to the npz tail-drop below: metrics.jsonl is
+        append-only, so without this a resumed run leaves the crashed
+        attempt's rows for re-run epochs in place and appends conflicting
+        fresh ones — consumers would see two records per epoch with no
+        marker of which is authoritative."""
+        path = os.path.join(self.log_folder, "metrics.jsonl")
+        self._jsonl.close()
+        kept = []
+        try:
+            with open(path) as f:
+                for line in f:
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue  # torn tail from a crash mid-write
+                    if not isinstance(rec.get("epoch"), (int, float)) \
+                            or rec["epoch"] < epoch:
+                        kept.append(line)
+            tmp = f"{path}.{os.getpid()}.tmp"
+            with open(tmp, "w") as f:
+                f.writelines(kept)
+            os.replace(tmp, path)
+        finally:
+            self._jsonl = open(path, "a")
+
     def log_epoch(self, epoch: int, train_metrics: Dict[str, float],
                   val_metrics: Dict[str, float]) -> None:
         epochs = self.history.get("epoch", [])
@@ -66,6 +92,7 @@ class MetricsLogger:
             keep = sum(1 for e in epochs if e < epoch)
             for k in self.history:
                 self.history[k] = self.history[k][:keep]
+            self._truncate_jsonl(epoch)
         self.history["epoch"].append(epoch)
         for k, v in train_metrics.items():
             self.history[f"train/{k}"].append(float(v))

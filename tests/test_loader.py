@@ -282,3 +282,65 @@ def test_cv2_pool_grows_to_requested_threads():
     finally:
         loader_mod._cv2_pool(1).shutdown(wait=False)
         loader_mod._CV2_POOL = old
+
+
+def test_stale_frames_cache_dropped_and_rebuilt(tmp_path, capsys):
+    """A frames.npy whose length no longer matches the dataset (re-recorded
+    dataset, same resolution) must be (a) DROPPED by load_dataset — kept, it
+    would silently gather OOB rows in cached mode (jnp.take fills, uint8 ->
+    255 garbage frames) — and (b) flagged stale by the preprocess/pipeline
+    rebuild check."""
+    from srl_zoo_tpu.data.schema import load_dataset
+    from srl_zoo_tpu.data.synthetic import generate_dataset
+    from srl_zoo_tpu.preprocessing.preprocess import frames_cache_stale
+
+    folder = str(tmp_path / "ds")
+    generate_dataset(folder, n_episodes=2, episode_len=12, img_size=16,
+                     seed=0)
+    ds = load_dataset(folder)
+    assert ds.frames is not None and len(ds.frames) == ds.n_samples
+
+    import os
+    fpath = os.path.join(folder, "frames.npy")
+    short = np.asarray(ds.frames)[:10].copy()
+    n_total = ds.n_samples
+    del ds  # release the mmap before overwriting the file
+    np.save(fpath, short)  # simulate a stale short cache
+    ds2 = load_dataset(folder)
+    assert ds2.frames is None  # dropped, not silently kept
+    assert "STALE" in capsys.readouterr().out
+    assert frames_cache_stale(fpath, 16, n_expected=n_total)
+    assert not frames_cache_stale(fpath, 16, n_expected=10)
+
+
+def test_device_cache_rejects_mismatched_view2(synthetic_dataset_mv):
+    """fits()/hybrid_hot_n() must resolution-check frames_2 like frames:
+    uploading a stale different-size view-2 store would crash the jitted
+    step with an opaque shape error where streaming handles it."""
+    import dataclasses
+
+    from srl_zoo_tpu.data import device_cache as dc
+
+    ds = synthetic_dataset_mv
+    assert dc.fits(ds, (32, 32), needs_view2=True)
+    bad = dataclasses.replace(
+        ds, frames_2=np.zeros((ds.n_samples, 16, 16, 3), np.uint8))
+    assert not dc.fits(bad, (32, 32), needs_view2=True)
+    assert dc.hybrid_hot_n(bad, (32, 32), needs_view2=True) == 0
+    # single-view configs never upload view 2 -> unaffected
+    assert dc.fits(bad, (32, 32), needs_view2=False)
+
+
+def test_triplet_neg_pool_override(synthetic_dataset_mv):
+    """The hybrid cold phase passes the full split as neg_pool: negatives
+    must be drawn from it, not just the loader's own (suffix) indices."""
+    ds = synthetic_dataset_mv
+    cfg = _cfg(ds, losses=(("triplet", 1.0),), multi_view=True)
+    idx = ds.training_indices()
+    suffix = idx[len(idx) // 2:]
+    loader = DataLoader(ds, suffix, cfg, shuffle=True, seed=0,
+                        emit_images=False, neg_pool=idx)
+    negs = np.concatenate([b["neg_indices"] for b in loader])
+    assert set(negs) - set(suffix.tolist()), \
+        "negatives never left the suffix partition"
+    assert set(negs) <= set(idx.tolist())

@@ -595,3 +595,43 @@ def test_resume_with_changed_optimizer_flags_fails_loudly(synthetic_dataset,
     cfg2 = _cfg(ds, tmp_path, epochs=2, batch_size=8, grad_accum=2)
     with pytest.raises(ValueError, match="SAME model and optimizer flags"):
         SRL4robotics(cfg2, log_folder=cfg.log_folder).learn(ds, resume=True)
+
+
+def test_metrics_jsonl_dedup_on_resume(tmp_path):
+    """Resume truncates the npz history tail AND the jsonl rows of re-run
+    epochs — consumers must never see two conflicting records for the same
+    epoch."""
+    import json
+
+    from srl_zoo_tpu.training.metrics import MetricsLogger
+
+    log = str(tmp_path / "run")
+    m = {"total": 1.0}
+    logger = MetricsLogger(log)
+    for epoch in range(4):
+        logger.log_epoch(epoch, m, m)
+        logger.log_step(epoch * 10, {"train/total": 1.0}, epoch=epoch)
+    logger.save_history()
+    logger.close()
+
+    # crash at epoch 3, resume from the epoch-2 checkpoint: epochs 2,3 re-run
+    logger = MetricsLogger(log)
+    for epoch in (2, 3, 4):
+        logger.log_epoch(epoch, m, m)
+        logger.log_step(epoch * 10 + 1, {"train/total": 0.5}, epoch=epoch)
+    logger.save_history()
+    logger.close()
+
+    with open(f"{log}/metrics.jsonl") as f:
+        recs = [json.loads(line) for line in f]
+    per_epoch = {}
+    for r in recs:
+        assert r["epoch"] not in per_epoch, f"duplicate epoch {r['epoch']}"
+        per_epoch[r["epoch"]] = r
+    assert sorted(per_epoch) == [0, 1, 2, 3, 4]
+    assert per_epoch[2]["train/total"] == 0.5  # the re-run row won
+    assert per_epoch[1]["train/total"] == 1.0  # pre-resume rows kept
+
+    import numpy as np
+    with np.load(f"{log}/loss_history.npz") as z:
+        assert z["epoch"].tolist() == [0, 1, 2, 3, 4]
