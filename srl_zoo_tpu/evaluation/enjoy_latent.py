@@ -89,7 +89,9 @@ def main(argv=None) -> str:
     n_dims, n_steps = grid.shape[:2]
     fig, axes = agg_subplots(n_dims, n_steps,
                              figsize=(1.6 * n_steps, 1.6 * n_dims))
-    axes = np.atleast_2d(axes)
+    # not atleast_2d: with n_steps=1 it yields the TRANSPOSED (1, n_dims)
+    # and axes[d, s] walks off axis 0 — reshape to the true grid instead
+    axes = np.asarray(axes).reshape(n_dims, n_steps)
     for d in range(n_dims):
         for s in range(n_steps):
             axes[d, s].imshow(grid[d, s, :, :, :3])

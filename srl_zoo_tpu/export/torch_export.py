@@ -52,10 +52,12 @@ from srl_zoo_tpu.ops.preproc import IMAGENET_MEAN, IMAGENET_STD
 
 
 def _same_pads(size: int, k: int, s: int) -> Tuple[int, int]:
-    """XLA 'SAME' (lo, hi) padding for one spatial dim."""
-    out = math.ceil(size / s)
-    total = max((out - 1) * s + k - size, 0)
-    return total // 2, total - total // 2
+    """XLA 'SAME' (lo, hi) padding for one spatial dim — delegates to the
+    canonical math in ops/pooling so the export's numerical parity can
+    never drift from what Flax/XLA actually compute (three independent
+    copies of this formula existed; review r3)."""
+    from srl_zoo_tpu.ops.pooling import _same_pads as _xla_same_pads
+    return _xla_same_pads(size, k, s)[1]
 
 
 def _t(x) -> "torch.Tensor":  # noqa: F821 — torch imported lazily

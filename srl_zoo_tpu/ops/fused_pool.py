@@ -85,9 +85,10 @@ def _out_size(size: int, pad: tuple[int, int]) -> int:
 
 
 def _same_pads(size: int) -> tuple[int, int]:
-    out = -(-size // 2)
-    total = max((out - 1) * 2 + 3 - size, 0)
-    return (total // 2, total - total // 2)
+    """3x3/2 'SAME' (lo, hi) pads — delegates to the canonical math in
+    ops/pooling (this module's fixed window/stride applied)."""
+    from srl_zoo_tpu.ops.pooling import _same_pads as _xla_same_pads
+    return _xla_same_pads(size, 3, 2)[1]
 
 
 def _resolve_pads(h: int, w: int, padding) -> tuple[tuple[int, int], tuple[int, int]]:

@@ -41,6 +41,8 @@ def plot_losses(history_path: str, save_path: Optional[str] = None):
 
 
 def main(argv=None):
+    from srl_zoo_tpu.utils.platform import honor_env_platform
+    honor_env_platform()  # JAX_PLATFORMS must be binding in every CLI
     import argparse
     p = argparse.ArgumentParser(description="Plot loss curves "
                                 "(reference: plotting/losses_plot.py)")

@@ -126,6 +126,8 @@ class LiveView:
 
 
 def main(argv=None):
+    from srl_zoo_tpu.utils.platform import honor_env_platform
+    honor_env_platform()  # JAX_PLATFORMS must be binding in every CLI
     """CLI: plot a saved run's states (reference:
     plotting/representation_plot.py with --data-folder/--correlation)."""
     import argparse

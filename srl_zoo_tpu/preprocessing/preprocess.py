@@ -161,18 +161,40 @@ def build_frames_cache(data_folder: str, img_size: int = 224,
     out = np.lib.format.open_memmap(tmp_path, mode="w+", dtype=np.uint8,
                                     shape=(n, img_size, img_size, 3))
 
+    # Decode with the SAME preference chain as the streaming loader
+    # (data/loader.py _fetch_images: native libjpeg DCT-scale + bilinear for
+    # all-JPEG datasets, cv2 INTER_AREA otherwise): the two resamplers
+    # differ by multiple intensity levels on a downscale, so building the
+    # cache with one and streaming with the other would silently shift
+    # exported states between cached-trained and streaming-evaluated runs.
+    # Residual caveat (documented): a cache built WITH the native lib then
+    # streamed on a host WITHOUT it (or vice versa) still skews — both
+    # paths on one host always agree, which is the case that matters.
+    from srl_zoo_tpu import native
+    from srl_zoo_tpu.data.schema import resolve_image_path
+    resolved = [resolve_image_path(data_folder, p) for p in paths]
+    n_threads = min(16, (os.cpu_count() or 1) * 4)
+
     def work(i):
-        # same resolver + decode as the streaming loader, so the frames.npy
-        # cache is bit-identical to what streaming would decode
         from srl_zoo_tpu.data.loader import _decode_resize
-        from srl_zoo_tpu.data.schema import resolve_image_path
-        out[i] = _decode_resize(resolve_image_path(data_folder, paths[i]),
-                                (img_size, img_size))
+        out[i] = _decode_resize(resolved[i], (img_size, img_size))
 
     try:
-        with ThreadPoolExecutor(
-                max_workers=min(16, (os.cpu_count() or 1) * 4)) as ex:
-            list(ex.map(work, range(n)))
+        done_native = False
+        if native.available() and all(p.endswith((".jpg", ".jpeg"))
+                                      for p in resolved):
+            try:
+                chunk = 256  # bound peak memory on large datasets
+                for s in range(0, n, chunk):
+                    out[s:s + chunk] = native.decode_jpeg_batch(
+                        resolved[s:s + chunk], img_size, img_size,
+                        n_threads=n_threads)
+                done_native = True
+            except FileNotFoundError:
+                pass  # fall through to cv2 (also handles other formats)
+        if not done_native:
+            with ThreadPoolExecutor(max_workers=n_threads) as ex:
+                list(ex.map(work, range(n)))
         out.flush()
         del out  # release the memmap handle before the rename
         os.replace(tmp_path, out_path)
@@ -187,6 +209,8 @@ def build_frames_cache(data_folder: str, img_size: int = 224,
 
 
 def main(argv=None):
+    from srl_zoo_tpu.utils.platform import honor_env_platform
+    honor_env_platform()  # JAX_PLATFORMS must be binding in every CLI
     p = argparse.ArgumentParser(description="Preprocess a recorded dataset")
     p.add_argument("--data-folder", type=str, required=True)
     p.add_argument("--img-size", type=int, default=224)

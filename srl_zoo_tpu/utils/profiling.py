@@ -47,6 +47,8 @@ def summarize_profile_dir(profile_dir: str, top: int = 12
 
 
 def main(argv=None):
+    from srl_zoo_tpu.utils.platform import honor_env_platform
+    honor_env_platform()  # JAX_PLATFORMS must be binding in every CLI
     import argparse
 
     p = argparse.ArgumentParser(description="Summarize a --profile trace")

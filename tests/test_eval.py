@@ -1,5 +1,7 @@
 """Evaluation: KNN-MSE semantics, GTC, reward probe."""
 
+import os
+
 import numpy as np
 
 from srl_zoo_tpu.evaluation.gtc import ground_truth_correlation
@@ -117,3 +119,21 @@ def test_knn_mse_tiny_dataset_clamps_k():
     gt = rng.randn(4, 2).astype(np.float32)
     score, queries, nn = knn_mse(s, gt, k=5)
     assert np.isfinite(score) and nn.shape == (4, 3)
+
+
+def test_enjoy_latent_cli_single_step(synthetic_dataset, tmp_path):
+    """--n-steps 1 used to crash: np.atleast_2d TRANSPOSES the squeezed
+    (n_dims,) axes array to (1, n_dims) and axes[d, s] walks off axis 0."""
+    import train as train_cli
+    from srl_zoo_tpu.evaluation.enjoy_latent import main as enjoy_main
+
+    ds = synthetic_dataset
+    log = str(tmp_path / "enjoy_run")
+    train_cli.main(["--data-folder", ds.data_folder, "--losses",
+                    "autoencoder", "--epochs", "1", "--state-dim", "4",
+                    "-bs", "16", "--log-folder", log, "--no-display-plots"])
+    out = enjoy_main(["--log-folder", log, "--n-dims", "3", "--n-steps", "1"])
+    assert os.path.exists(out)
+    # and the normal multi-step grid still renders
+    out = enjoy_main(["--log-folder", log, "--n-dims", "2", "--n-steps", "3"])
+    assert os.path.exists(out)
