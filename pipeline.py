@@ -114,6 +114,36 @@ def run_experiment(data_folder: str, losses, state_dim: int, model_type: str,
             "images_per_sec": round(ips, 1)}
 
 
+def _normalize_loss_groups(groups):
+    """exp-config 'losses' was the ONE grid key that bypassed validation: a
+    flat list of strings (the natural spelling for single-loss experiments,
+    {"losses": ["autoencoder", "vae"]}) used to splat each name into
+    characters at run_experiment time ('--losses', *'autoencoder'), failing
+    deep inside training with "Unknown loss 'a'" AFTER preprocessing ran.
+    Accepted spellings, normalized to a list of groups (lists of strings):
+
+      [["autoencoder"], ["vae", "priors"]]   canonical
+      ["autoencoder", "vae priors"]          strings: one group each,
+                                             whitespace-split
+      "autoencoder"                          single group of one
+    """
+    if isinstance(groups, str):
+        groups = [groups]
+    if not isinstance(groups, list) or not groups:
+        raise SystemExit(f"exp-config: 'losses' must be a non-empty list of "
+                         f"loss groups, got {groups!r}")
+    out = []
+    for g in groups:
+        if isinstance(g, str):
+            g = g.split()
+        if not (isinstance(g, list) and g
+                and all(isinstance(x, str) for x in g)):
+            raise SystemExit(f"exp-config: each 'losses' entry must be a "
+                             f"loss-group list or string, got {g!r}")
+        out.append(g)
+    return out
+
+
 def _coerce_grid_value(action, value):
     """Coerce one exp-config JSON value to the argparse type of its matching
     option so a bad grid fails at config-load time, not with an obscure error
@@ -208,7 +238,8 @@ def main(argv=None):
         # ...) used to run hours of experiments with the wrong config.
         known = {name.replace("_", "-"): name for name in vars(args)}
         by_dest = {a.dest: a for a in p._actions}
-        loss_groups = grid.pop("losses", [["autoencoder"]])
+        loss_groups = _normalize_loss_groups(grid.pop("losses",
+                                                      [["autoencoder"]]))
         for key, value in grid.items():
             name = known.get(key) or known.get(key.replace("_", "-"))
             if name is None:

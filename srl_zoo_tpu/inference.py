@@ -58,6 +58,10 @@ class StateEncoder:
                 f"expected uint8 observations of shape {expected} "
                 f"(or batched (B, *{expected})), got {obs.shape}")
         b = len(obs)
+        if b == 0:
+            # a vectorized-env wrapper with zero active envs: well-formed
+            # empty result instead of np.concatenate([]) raising
+            return np.zeros((0, self.cfg.state_dim), np.float32)
         out = []
         for start in range(0, b, self.max_batch):
             chunk = obs[start:start + self.max_batch]
@@ -69,7 +73,9 @@ class StateEncoder:
             states = np.asarray(jax.device_get(
                 self._encode(self._variables, chunk)))[:n]
             out.append(states)
-        states = np.concatenate(out)
+        # honor the float32 contract: a --dtype bfloat16 model returns
+        # ml_dtypes.bfloat16 arrays, which torch.from_numpy/sklearn reject
+        states = np.concatenate(out).astype(np.float32, copy=False)
         return states[0] if single else states
 
 

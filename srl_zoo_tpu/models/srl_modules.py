@@ -50,13 +50,10 @@ class SRLModules(nn.Module):
 
         slices = cfg.slices
         if cfg.use_decoder:
-            recon_slices = [slices[n] for n in cfg.loss_names
-                            if n in RECONSTRUCTION_LOSSES]
-            if len(set(recon_slices)) > 1:
-                raise ValueError(
-                    "Multiple reconstruction losses must share one state slice "
-                    f"(got {recon_slices}); give later ones split dim -1")
-            self.recon_slice = recon_slices[0]
+            # one shared slice is guaranteed by SRLConfig.__post_init__
+            # (config-time validation); no duplicate check here to drift
+            self.recon_slice = next(slices[n] for n in cfg.loss_names
+                                    if n in RECONSTRUCTION_LOSSES)
             out_ch = cfg.n_channels
             if cfg.model_type in ("mlp", "linear"):
                 self.decoder = DenseDecoder(img_height=cfg.img_height,

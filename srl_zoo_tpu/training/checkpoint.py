@@ -52,8 +52,13 @@ def save_srl_model(log_folder: str, params, batch_stats) -> str:
 
 def load_srl_model(log_folder: str, cfg: SRLConfig) -> Tuple:
     """Rebuild the model skeleton from exp_config and restore exported
-    weights (reference: evaluation/predict_dataset.py reload path)."""
-    model, state, tx = create_train_state(cfg, jax.random.PRNGKey(cfg.seed))
+    weights (reference: evaluation/predict_dataset.py reload path).
+
+    Returns (model, state, None): every caller is an inference-time reload
+    that only needs params/batch_stats — skipping tx.init avoids allocating
+    Adam moments (2x parameter memory) just to throw them away."""
+    model, state, tx = create_train_state(cfg, jax.random.PRNGKey(cfg.seed),
+                                          with_optimizer=False)
     path = os.path.join(log_folder, MODEL_FILE)
     with open(path, "rb") as f:
         payload = flax.serialization.from_bytes(

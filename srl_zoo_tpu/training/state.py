@@ -64,9 +64,15 @@ def _dummy_batch_args(cfg: SRLConfig, batch_size: int):
 
 
 def create_train_state(cfg: SRLConfig, rng: jax.Array,
-                       init_batch_size: int = 2):
+                       init_batch_size: int = 2,
+                       with_optimizer: bool = True):
     """Build (model, TrainState). Init runs on a tiny batch — BatchNorm and
-    shapes are batch-size independent."""
+    shapes are batch-size independent.
+
+    ``with_optimizer=False`` skips make_optimizer/tx.init and returns
+    ``tx=None`` with an empty opt_state — inference-time reloads
+    (checkpoint.load_srl_model) only need the params/batch_stats template,
+    and Adam moments are 2x parameter memory allocated for nothing."""
     model = SRLModules(cfg)
     p_rng, s_rng = jax.random.split(rng)
     args = _dummy_batch_args(cfg, init_batch_size)
@@ -74,6 +80,10 @@ def create_train_state(cfg: SRLConfig, rng: jax.Array,
                            train=True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    if not with_optimizer:
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           batch_stats=batch_stats, opt_state=())
+        return model, state, None
     tx = make_optimizer(cfg)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        batch_stats=batch_stats, opt_state=tx.init(params))

@@ -89,3 +89,49 @@ def test_sharded_cache_requires_divisible_batch(synthetic_dataset, tmp_path):
                     log_folder=str(tmp_path / "x"))
     with pytest.raises(ValueError, match="divisible by the"):
         SRL4robotics(cfg, log_folder=cfg.log_folder)
+
+
+def test_resume_requires_log_folder(synthetic_dataset, capsys):
+    """--resume without --log-folder would 'resume' into a fresh timestamped
+    folder, silently retraining from epoch 0 — reject it instead."""
+    import pytest
+
+    import train as train_cli
+
+    with pytest.raises(SystemExit) as exc:
+        train_cli.main(["--data-folder", synthetic_dataset.data_folder,
+                        "--losses", "autoencoder", "--resume",
+                        "--epochs", "1", "--no-display-plots"])
+    assert exc.value.code == 1
+    assert "--log-folder" in capsys.readouterr().out
+
+
+def test_default_log_folder_stays_under_logs():
+    """An absolute --data-folder must not hijack os.path.join and write run
+    artifacts inside the dataset tree."""
+    import train as train_cli
+
+    import os
+
+    folder = train_cli.default_log_folder("/mnt/datasets/kuka", "cnn", ["ae"])
+    assert folder.split(os.sep)[0] == "logs"
+    assert "/mnt/" not in folder and "kuka" in folder
+
+
+def test_pipeline_loss_groups_normalized():
+    """exp-config 'losses' accepts canonical, flat-string, and single-string
+    spellings — and rejects garbage at config-load time, not after
+    preprocessing has run."""
+    import pytest
+
+    from pipeline import _normalize_loss_groups
+
+    assert _normalize_loss_groups([["autoencoder"], ["vae", "priors"]]) == \
+        [["autoencoder"], ["vae", "priors"]]
+    assert _normalize_loss_groups(["autoencoder", "vae priors"]) == \
+        [["autoencoder"], ["vae", "priors"]]
+    assert _normalize_loss_groups("autoencoder") == [["autoencoder"]]
+    with pytest.raises(SystemExit):
+        _normalize_loss_groups([])
+    with pytest.raises(SystemExit):
+        _normalize_loss_groups([42])

@@ -312,3 +312,24 @@ def test_serve_backend_failure_is_500_without_coalescer(synthetic_dataset,
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_state_encoder_float32_and_empty_batch(synthetic_dataset, tmp_path):
+    """encode() honors its float32 contract for --dtype bfloat16 models
+    (torch.from_numpy rejects ml_dtypes.bfloat16) and returns a well-formed
+    (0, state_dim) array for an empty batch instead of crashing."""
+    import train as train_cli
+    from srl_zoo_tpu.inference import StateEncoder
+
+    ds = synthetic_dataset
+    log = str(tmp_path / "bf16_run")
+    train_cli.main(["--data-folder", ds.data_folder, "--losses",
+                    "autoencoder", "--epochs", "1", "--state-dim", "4",
+                    "-bs", "16", "--dtype", "bfloat16", "--log-folder", log,
+                    "--no-display-plots"])
+    enc = StateEncoder.load(log, max_batch=8)
+    obs = np.zeros((3, 32, 32, 3), np.uint8)
+    states = enc.encode(obs)
+    assert states.dtype == np.float32 and states.shape == (3, 4)
+    empty = enc.encode(np.zeros((0, 32, 32, 3), np.uint8))
+    assert empty.dtype == np.float32 and empty.shape == (0, 4)

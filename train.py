@@ -144,7 +144,11 @@ def default_log_folder(dataset_name: str, model_type: str,
                        loss_names) -> str:
     ts = datetime.datetime.now().strftime("%y-%m-%d_%Hh%M_%S")
     exp = f"{ts}_{model_type}_{'_'.join(loss_names)}"
-    return os.path.join("logs", dataset_name, exp)
+    # basename: an absolute --data-folder must not make os.path.join discard
+    # the 'logs' root and write run artifacts INSIDE the dataset tree
+    # (pipeline._cell_log_folder applies the same guard)
+    return os.path.join("logs", os.path.basename(dataset_name.rstrip("/")),
+                        exp)
 
 
 def main(argv=None):
@@ -179,6 +183,14 @@ def main(argv=None):
     dataset = load_dataset(data_folder)
     losses, split_dims = parse_loss_arguments(args.losses, args.state_dim)
 
+    if args.resume and not args.log_folder:
+        # a fresh timestamped default folder has no checkpoints: the run
+        # would silently retrain from epoch 0 while the user believes it
+        # resumed
+        printYellow("--resume needs --log-folder pointing at the previous "
+                    "run (the default log folder is a fresh timestamp — "
+                    "there is nothing to resume there)")
+        sys.exit(1)
     log_folder = args.log_folder or default_log_folder(
         dataset_name, args.model_type, list(losses))
     if args.num_processes > 1 and args.process_id != 0:
