@@ -1,4 +1,4 @@
-.PHONY: test test-fast smoke bench perf-gate native clean demo
+.PHONY: test test-fast smoke bench perf-gate tpu-checkup native clean demo
 
 native:
 	$(MAKE) -C native
@@ -17,6 +17,9 @@ bench:
 
 perf-gate:
 	python ci/perf_gate.py
+
+tpu-checkup:
+	bash ci/tpu_checkup.sh
 
 demo:
 	python examples/downstream_rl.py

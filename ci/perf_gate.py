@@ -159,8 +159,11 @@ def main(argv=None) -> int:
             # watchdog covers — this check runs BEFORE bench.py gets a say)
             platform = probe_backend()[0].platform
         except BackendInitTimeout as e:
-            print(f"perf_gate: FAIL — {e}")
-            return 1
+            # exit 3, not 1: an environment outage is not a perf
+            # regression — callers (ci/smoke.sh) may warn-and-continue on 3
+            # but must stay red on a real regression (1)
+            print(f"perf_gate: BLOCKED — {e}")
+            return 3
         if platform not in ("tpu", "axon"):
             print(f"perf_gate: SKIP — no TPU here "
                   f"(platform={platform}); baselines in "

@@ -43,5 +43,13 @@ for i, (flags, ds) in enumerate(CONFIGS):
 print("SMOKE PASSED")
 EOF
 
-# throughput non-regression gate (skips on CPU-only hosts)
-python ci/perf_gate.py
+# throughput non-regression gate (skips on CPU-only hosts; exit 3 = the
+# device backend is wedged — an environment outage, not a regression, so
+# warn and keep the CPU smoke green; any other nonzero stays red)
+rc=0
+python ci/perf_gate.py || rc=$?
+if [ "$rc" -eq 3 ]; then
+    echo "smoke: perf gate SKIPPED (backend outage — see message above)"
+elif [ "$rc" -ne 0 ]; then
+    exit "$rc"
+fi

@@ -133,8 +133,8 @@ def test_perf_gate_fails_loudly_on_backend_timeout(monkeypatch, capsys):
     monkeypatch.setattr(plat, "probe_backend", hung_probe)
     rc = perf_gate.main([])
     out = capsys.readouterr().out
-    assert rc == 1
-    assert "FAIL" in out and "timed out" in out
+    assert rc == 3  # outage exit code: smoke warns-and-continues on 3 only
+    assert "BLOCKED" in out and "timed out" in out
 
 
 def test_perf_gate_detail_rows():
