@@ -47,6 +47,7 @@ class MetricsLogger:
             except Exception:
                 self.history = defaultdict(list)  # corrupt file: start fresh
         self._t0 = time.time()
+        self._jsonl_deduped = False
         self._tb = _make_tb_writer(log_folder)
 
     def log_step(self, step: int, metrics: Dict[str, float], **extra) -> None:
@@ -85,6 +86,14 @@ class MetricsLogger:
 
     def log_epoch(self, epoch: int, train_metrics: Dict[str, float],
                   val_metrics: Dict[str, float]) -> None:
+        if not self._jsonl_deduped:
+            # first epoch of this process: drop stale jsonl rows from a
+            # crashed attempt REGARDLESS of the npz history — a SIGKILLed
+            # run flushed jsonl per epoch but never reached save_history(),
+            # so the npz-based branch below can't see the re-run epochs
+            # (found by tests/test_train.py sigkill durability test)
+            self._jsonl_deduped = True
+            self._truncate_jsonl(epoch)
         epochs = self.history.get("epoch", [])
         if epochs and epoch <= epochs[-1]:
             # resume re-runs this epoch: drop the stale tail so the curve
@@ -106,6 +115,10 @@ class MetricsLogger:
                 for k, v in val_metrics.items():
                     tf.summary.scalar(f"val/{k}", float(v), step=epoch)
             self._tb.flush()
+        # durable per epoch (atomic tmp+rename, a few KB): a SIGKILL must
+        # not silently drop the pre-crash epochs from the curve a resumed
+        # run continues
+        self.save_history()
 
     def save_history(self) -> str:
         """Write the loss-history npz the plotting CLI consumes

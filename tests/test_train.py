@@ -1,5 +1,7 @@
 """Training runtime: loss decreases, export/reload parity, resume."""
 
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -635,3 +637,69 @@ def test_metrics_jsonl_dedup_on_resume(tmp_path):
     import numpy as np
     with np.load(f"{log}/loss_history.npz") as z:
         assert z["epoch"].tolist() == [0, 1, 2, 3, 4]
+
+
+@pytest.mark.slow
+def test_sigkill_mid_training_then_resume(synthetic_dataset, tmp_path):
+    """Durability under a TORN death: SIGKILL (no finally, no atexit, no
+    crash-path flush) mid-training, then --resume. The atomic tmp+rename
+    writes (checkpoints, srl_model, loss_history) plus per-epoch jsonl
+    flushes must leave a resumable, uncorrupted run behind."""
+    import json
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    ds = synthetic_dataset
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    log = str(tmp_path / "sigkill_run")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    argv = [sys.executable, "train.py", "--data-folder", ds.data_folder,
+            "--losses", "autoencoder", "--epochs", "10", "--state-dim", "4",
+            "-bs", "16", "--log-folder", log, "--checkpoint-every", "1",
+            "--no-display-plots"]
+    proc = subprocess.Popen(argv, cwd=repo, env=env,
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    try:
+        # wait until at least 3 epochs are durably recorded, then pull the rug
+        jsonl = os.path.join(log, "metrics.jsonl")
+        deadline = time.time() + 420
+        epochs_seen = 0
+        while time.time() < deadline and proc.poll() is None:
+            if os.path.exists(jsonl):
+                with open(jsonl) as f:
+                    epochs_seen = sum(1 for _ in f)
+            if epochs_seen >= 3:
+                break
+            time.sleep(0.2)
+        assert proc.poll() is None, "training finished before the kill"
+        assert epochs_seen >= 3, "no epochs recorded within the deadline"
+        os.kill(proc.pid, signal.SIGKILL)
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    # resume in a fresh process; must complete all 10 epochs cleanly
+    out = subprocess.run(argv + ["--resume"], cwd=repo, env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    with np.load(os.path.join(log, "loss_history.npz")) as z:
+        epochs = z["epoch"].tolist()
+    # per-epoch durable history: the pre-crash epochs survive the SIGKILL
+    # and the resumed run continues them — one row per epoch, none lost
+    assert epochs == list(range(10)), f"history epochs: {epochs}"
+    with open(os.path.join(log, "metrics.jsonl")) as f:
+        recs = [json.loads(line) for line in f]
+    seen = [r["epoch"] for r in recs if "epoch" in r]
+    assert len(seen) == len(set(seen)), f"duplicate jsonl epochs: {seen}"
+
+    # the exported model is loadable and produces finite states
+    from srl_zoo_tpu.inference import StateEncoder
+    enc = StateEncoder.load(log)
+    states = enc.encode(np.zeros((2, 32, 32, 3), np.uint8))
+    assert np.all(np.isfinite(states))
