@@ -28,8 +28,12 @@ def main():
     from srl_zoo_tpu.inference import StateEncoder
     import train as train_cli
 
-    data = "/tmp/srl_example/data"
-    log = "/tmp/srl_example/run"
+    # fresh temp dir (honors TMPDIR): a hardcoded /tmp path collides across
+    # concurrent runs and silently reuses stale artifacts from a prior one
+    import tempfile
+    root = tempfile.mkdtemp(prefix="srl_example_")
+    data = os.path.join(root, "data")
+    log = os.path.join(root, "run")
     generate_dataset(data, n_episodes=6, episode_len=30, img_size=64, seed=0)
 
     # 1. train an SRL model (any losses / model type)

@@ -28,7 +28,10 @@ def main():
     from srl_zoo_tpu.export.torch_export import export_torch_encoder
     import train as train_cli
 
-    work = os.path.join(os.path.dirname(__file__), "_torch_policy_demo")
+    # temp dir (honors TMPDIR), not the source tree: writing into the repo
+    # checkout pollutes it and fails on a read-only install
+    import tempfile
+    work = tempfile.mkdtemp(prefix="srl_torch_policy_")
     data, logs = os.path.join(work, "data"), os.path.join(work, "logs")
 
     # 1. train a tiny SRL model (JAX side — this is the only JAX step)

@@ -17,10 +17,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 @pytest.mark.parametrize("name", ["downstream_rl", "record_and_train",
                                   "torch_policy"])
 def test_example_runs_end_to_end(name, tmp_path):
+    if name == "torch_policy":
+        pytest.importorskip("torch")  # optional dep (requirements.txt)
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
-    env["TMPDIR"] = str(tmp_path)  # examples write under tempfile defaults
+    # every example creates its workspace via tempfile (honors TMPDIR)
+    env["TMPDIR"] = str(tmp_path)
     proc = subprocess.run([sys.executable, f"examples/{name}.py"], cwd=REPO,
                           env=env, capture_output=True, text=True,
                           timeout=540)

@@ -212,6 +212,17 @@ def _np_knn(q, r, k):
     return np.argsort(d2, axis=1, kind="stable")[:, :k]
 
 
+def _assert_knn_matches(got, want, label="", max_flips=2):
+    """Index agreement up to a couple of TIE FLIPS: the device impls compute
+    matmul-form f32 distances, numpy the subtract-square-sum form — exact
+    ties may legitimately resolve differently. A fractional threshold
+    ((got == want).mean() > 0.999) allowed ZERO mismatches at these sizes
+    (0.001 * n_elements < 1), silently making the checks exact (review r3)."""
+    mismatches = int((np.asarray(got) != np.asarray(want)).sum())
+    assert mismatches <= max_flips, \
+        f"{label}: {mismatches} mismatched indices (> {max_flips})"
+
+
 def test_knn_topk_full_blocked_match_numpy(rng):
     from srl_zoo_tpu.ops.knn_topk import knn_topk
     q = rng.randn(123, 33).astype(np.float32)
@@ -219,7 +230,7 @@ def test_knn_topk_full_blocked_match_numpy(rng):
     want = _np_knn(q, r, 7)
     for impl in ("full", "blocked"):
         got = np.asarray(knn_topk(q, r, 7, impl=impl))
-        assert (got == want).mean() > 0.999, impl
+        _assert_knn_matches(got, want, impl)
 
 
 def test_knn_topk_pallas_interpret_matches_numpy(rng):
@@ -306,7 +317,7 @@ def test_knn_topk_sharded_matches_numpy(rng):
     got = np.asarray(knn_topk_sharded(q, r, 5, mesh=mesh))
     # loose like the full/blocked test: matmul-form f32 distances may flip
     # exact ties vs numpy's subtract-square-sum form
-    assert (got == _np_knn(q, r, 5)).mean() > 0.999
+    _assert_knn_matches(got, _np_knn(q, r, 5))
     # chunked queries must agree with the one-shot call exactly
     chunked = np.asarray(knn_topk_sharded(q, r, 5, mesh=mesh,
                                           query_chunk=13))
@@ -320,7 +331,7 @@ def test_knn_topk_sharded_small_shard_fallback(rng):
     q = rng.randn(6, 4).astype(np.float32)
     r = rng.randn(24, 4).astype(np.float32)
     got = np.asarray(knn_topk_sharded(q, r, 5, mesh=make_mesh()))
-    assert (got == _np_knn(q, r, 5)).mean() > 0.999
+    _assert_knn_matches(got, _np_knn(q, r, 5))
 
 
 def test_knn_topk_sharded_fallback_honors_query_chunk(rng):
@@ -345,7 +356,7 @@ def test_knn_topk_sharded_fallback_honors_query_chunk(rng):
         got = np.asarray(kt.knn_topk_sharded(q, r, 5, mesh=make_mesh(),
                                              query_chunk=10))
     assert max(seen) <= 10 and sum(seen) == 37
-    assert (got == _np_knn(q, r, 5)).mean() > 0.999
+    _assert_knn_matches(got, _np_knn(q, r, 5))
     # zero queries stay well-formed on every path
     assert kt.knn_topk_sharded(q[:0], r, 5, mesh=make_mesh(),
                                query_chunk=10).shape == (0, 5)

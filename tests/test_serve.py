@@ -13,19 +13,28 @@ from srl_zoo_tpu.config import SRLConfig
 from srl_zoo_tpu.training.learner import SRL4robotics
 
 
-def test_serve_encode_round_trip(synthetic_dataset, tmp_path):
+@pytest.fixture(scope="module")
+def trained_srv_run(synthetic_dataset, tmp_path_factory):
+    """ONE trained autoencoder shared by every serve test in this module
+    (each used to train its own identical model — 3x the CPU time in a
+    suite already flagged at ~14 min; review r3)."""
     ds = synthetic_dataset
+    log = str(tmp_path_factory.mktemp("srv_shared") / "run")
     cfg = SRLConfig(state_dim=4, img_height=32, img_width=32, batch_size=16,
                     epochs=1, losses=(("autoencoder", 1.0),),
-                    split_dims=(("autoencoder", -1),),
-                    log_folder=str(tmp_path / "srv"))
-    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+                    split_dims=(("autoencoder", -1),), log_folder=log)
+    learner = SRL4robotics(cfg, log_folder=log)
     learner.learn(ds)
-    cfg.save(cfg.log_folder)
-    exported = learner.predict_states(ds)
+    cfg.save(log)
+    return log, learner.predict_states(ds)
+
+
+def test_serve_encode_round_trip(synthetic_dataset, trained_srv_run):
+    ds = synthetic_dataset
+    log, exported = trained_srv_run
 
     from serve import build_server
-    server = build_server(cfg.log_folder, port=0)  # ephemeral port
+    server = build_server(log, port=0)  # ephemeral port
     port = server.server_address[1]
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
@@ -72,21 +81,15 @@ def test_serve_encode_round_trip(synthetic_dataset, tmp_path):
         server.server_close()
 
 
-def test_serve_coalesced_concurrent_requests(synthetic_dataset, tmp_path):
+def test_serve_coalesced_concurrent_requests(synthetic_dataset,
+                                             trained_srv_run):
     """--coalesce-ms groups concurrent requests into fewer device launches
     and every client still gets exactly its own rows back."""
     ds = synthetic_dataset
-    cfg = SRLConfig(state_dim=4, img_height=32, img_width=32, batch_size=16,
-                    epochs=1, losses=(("autoencoder", 1.0),),
-                    split_dims=(("autoencoder", -1),),
-                    log_folder=str(tmp_path / "srv_co"))
-    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
-    learner.learn(ds)
-    cfg.save(cfg.log_folder)
-    exported = learner.predict_states(ds)
+    log, exported = trained_srv_run
 
     from serve import build_server
-    server = build_server(cfg.log_folder, port=0, coalesce_ms=25.0)
+    server = build_server(log, port=0, coalesce_ms=25.0)
     coalescer = server.coalescer
     assert coalescer is not None
     # count actual device launches by wrapping the real encoder
@@ -148,25 +151,28 @@ def test_coalescer_rejects_bad_shape_individually(synthetic_dataset,
             return np.ones((len(obs), 2), np.float32)
 
     co = BatchCoalescer(_Enc(), window_ms=20.0)
-    good = np.zeros((8, 8, 3), np.uint8)
-    bad = np.zeros((4, 4, 3), np.uint8)
-    out = {}
-    errs = {}
+    try:
+        good = np.zeros((8, 8, 3), np.uint8)
+        bad = np.zeros((4, 4, 3), np.uint8)
+        out = {}
+        errs = {}
 
-    def call(name, obs):
-        try:
-            out[name] = co.encode(obs)
-        except ValueError as e:
-            errs[name] = e
+        def call(name, obs):
+            try:
+                out[name] = co.encode(obs)
+            except ValueError as e:
+                errs[name] = e
 
-    ts = [threading.Thread(target=call, args=("good", good)),
-          threading.Thread(target=call, args=("bad", bad))]
-    for t in ts:
-        t.start()
-    for t in ts:
-        t.join()
-    assert out["good"].shape == (2,)
-    assert "bad" in errs
+        ts = [threading.Thread(target=call, args=("good", good)),
+              threading.Thread(target=call, args=("bad", bad))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert out["good"].shape == (2,)
+        assert "bad" in errs
+    finally:
+        co.close()  # an un-closed coalescer leaks its worker + encoder
 
 
 def test_coalescer_multirow_and_overflow_groups():
@@ -175,31 +181,43 @@ def test_coalescer_multirow_and_overflow_groups():
     (StateEncoder chunks internally; the fake encoder tags rows by value)."""
     from serve import BatchCoalescer
 
+    calls = []
+
     class _Enc:
         class cfg:
             img_height, img_width, n_channels = 8, 8, 3
         max_batch = 4
 
         def encode(self, obs):
+            calls.append(len(obs))
             # state = mean pixel value of the row -> identifies the request
             return obs.reshape(len(obs), -1).mean(axis=1, dtype=np.float64)
 
-    co = BatchCoalescer(_Enc(), window_ms=30.0)
-    out = {}
+    # window long enough that both requests land in ONE group even on a
+    # loaded 1-core host — otherwise each 3-row request encodes alone
+    # (3 <= max_batch) and the over-capacity path silently never runs
+    co = BatchCoalescer(_Enc(), window_ms=300.0)
+    try:
+        out = {}
 
-    def call(name, value, rows):
-        obs = np.full((rows, 8, 8, 3), value, np.uint8)
-        out[name] = co.encode(obs)
+        def call(name, value, rows):
+            obs = np.full((rows, 8, 8, 3), value, np.uint8)
+            out[name] = co.encode(obs)
 
-    # 3 + 3 rows (> max_batch 4) arriving in one window
-    ts = [threading.Thread(target=call, args=("a", 10, 3)),
-          threading.Thread(target=call, args=("b", 200, 3))]
-    for t in ts:
-        t.start()
-    for t in ts:
-        t.join()
-    np.testing.assert_array_equal(out["a"], [10.0] * 3)
-    np.testing.assert_array_equal(out["b"], [200.0] * 3)
+        # 3 + 3 rows (> max_batch 4) arriving in one window
+        ts = [threading.Thread(target=call, args=("a", 10, 3)),
+              threading.Thread(target=call, args=("b", 200, 3))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        np.testing.assert_array_equal(out["a"], [10.0] * 3)
+        np.testing.assert_array_equal(out["b"], [200.0] * 3)
+        # prove the over-max_batch group actually formed: ONE 6-row encode
+        # (the StateEncoder chunks internally), not two 3-row groups
+        assert calls == [6], calls
+    finally:
+        co.close()
 
 
 def test_coalescer_group_failure_is_server_error():
@@ -269,25 +287,17 @@ def test_coalescer_close_stops_worker_and_rejects():
     co.close()  # idempotent
 
 
-def test_serve_backend_failure_is_500_without_coalescer(synthetic_dataset,
-                                                        tmp_path,
+def test_serve_backend_failure_is_500_without_coalescer(trained_srv_run,
                                                         monkeypatch):
     """Geometry is validated in the handler, so a ValueError escaping the
     encoder on the DEFAULT (lock) path is a server fault -> 500, never a
     400 that blinds load balancers (round-3 review, final sweep)."""
     import urllib.error
 
-    ds = synthetic_dataset
-    cfg = SRLConfig(state_dim=4, img_height=32, img_width=32, batch_size=16,
-                    epochs=1, losses=(("autoencoder", 1.0),),
-                    split_dims=(("autoencoder", -1),),
-                    log_folder=str(tmp_path / "srv500"))
-    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
-    learner.learn(ds)
-    cfg.save(cfg.log_folder)
+    log, _ = trained_srv_run
 
     from serve import build_server
-    server = build_server(cfg.log_folder, port=0)
+    server = build_server(log, port=0)
     port = server.server_address[1]
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()

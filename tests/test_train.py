@@ -423,6 +423,8 @@ def test_bucket_padding_reuses_compiled_program(synthetic_dataset, tmp_path):
 def test_tensorboard_events_opt_in(synthetic_dataset, tmp_path, monkeypatch):
     """SRL_ZOO_TENSORBOARD=1 writes TB event files next to the jsonl/npz
     artifacts; default off."""
+    pytest.importorskip("tensorflow")  # optional dep: writer silently
+    # degrades to jsonl+npz without it, so the tb/ dir would never appear
 
     monkeypatch.setenv("SRL_ZOO_TENSORBOARD", "1")
     cfg = _cfg(synthetic_dataset, tmp_path, epochs=1)
