@@ -28,18 +28,36 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def latest_baseline():
-    """(path, parsed json) of the highest-numbered BENCH_r*.json, or None."""
+    """(path, parsed json) of the highest-numbered USABLE BENCH_r*.json, or
+    None. A baseline whose headline is 0/absent/error (a driver-side bench
+    outage, e.g. a wedged tunnel recorded as value 0.0) is SKIPPED with a
+    message — otherwise one outage file would become the floor and every
+    later regression would vacuously pass (VERDICT r3 weak #7 / next #5)."""
     paths = glob.glob(os.path.join(REPO, "BENCH_r*.json"))
     numbered = []
     for p in paths:
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if m:
             numbered.append((int(m.group(1)), p))
-    if not numbered:
-        return None
-    path = max(numbered)[1]
-    with open(path) as f:
-        return path, json.load(f)
+    for _, path in sorted(numbered, reverse=True):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            inner = extract_doc(doc)
+            value = float(inner["value"])
+        except (json.JSONDecodeError, OSError, ValueError, KeyError,
+                TypeError):
+            print(f"perf_gate: skipping {os.path.basename(path)} as "
+                  "baseline (no parseable headline)")
+            continue
+        if value <= 0 or inner.get("error"):
+            print(f"perf_gate: skipping {os.path.basename(path)} as "
+                  f"baseline (headline {value}, error="
+                  f"{inner.get('error', '')!r:.80} — an environment "
+                  "outage, not a perf floor)")
+            continue
+        return path, doc
+    return None
 
 
 def extract_doc(doc) -> dict:
@@ -68,16 +86,26 @@ def gate_details(base_doc: dict, cur_doc: dict, band: float) -> list:
     """Per-row verdict lines for every shared detail row (VERDICT r2 weak
     #3: the headline gate let a -21% streaming drop pass unexplained).
 
-      * cached_* rows are chip-bound and stable: hard-gated at ``band``.
-      * streaming_* rows are host-link-bound: gated on img/s per link-MB/s
-        (both docs must carry ``link_mbps``; legacy baselines without it are
-        report-only) with a wider 1.5x band for residual link nonlinearity.
-      * hybrid_* rows mix both regimes: report-only.
+      * cached_* and hybrid_hot_* rows are chip-bound and stable: hard-gated
+        at ``band``.
+      * streaming_* and hybrid_cold_* rows are host-link-bound: gated on
+        img/s per link-MB/s (both docs must carry ``link_mbps``; legacy
+        baselines without it are report-only) with a wider 1.5x band for
+        residual link nonlinearity.
+      * the combined hybrid_* rows mix both regimes: report-only (fully
+        explained by their gated hot/cold parts since r4 — VERDICT r3 #5).
 
     Returns a list of (row, verdict_str, failed: bool)."""
     base, cur = extract_doc(base_doc), extract_doc(cur_doc)
     b_det, c_det = base.get("detail", {}), cur.get("detail", {})
     b_link, c_link = base.get("link_mbps"), cur.get("link_mbps")
+
+    def is_chip_row(name):
+        return name.startswith(("cached_", "hybrid_hot_"))
+
+    def is_link_row(name):
+        return name.startswith(("streaming_", "hybrid_cold_"))
+
     rows = []
     for name in sorted(b_det):
         if name.endswith("_error"):
@@ -87,19 +115,19 @@ def gate_details(base_doc: dict, cur_doc: dict, band: float) -> list:
             # hard-gated families fail (when the current run reports details
             # at all — a detail-less doc is a legacy format, report-only),
             # report-only families still print
-            bad = name.startswith("cached_") and bool(c_det)
+            bad = is_chip_row(name) and bool(c_det)
             rows.append((name, "present in baseline, MISSING from current "
                                "run", bad))
             continue
         b_v, c_v = float(b_det[name]), float(c_det[name])
         if b_v <= 0:
             continue  # row errored in the baseline run — nothing to hold
-        if name.startswith("cached_"):
+        if is_chip_row(name):
             floor = b_v * (1.0 - band)
             bad = c_v < floor
             rows.append((name, f"{c_v:.1f} vs {b_v:.1f} "
                          f"(floor {floor:.1f})", bad))
-        elif name.startswith("streaming_") and b_link and c_link:
+        elif is_link_row(name) and b_link and c_link:
             b_eff, c_eff = b_v / b_link, c_v / c_link
             floor = b_eff * (1.0 - 1.5 * band)
             bad = c_eff < floor

@@ -180,6 +180,13 @@ class SRLConfig:
     # independent DMA engines: turn on with --stream-overlap there
     # (VERDICT r2 next #10).
     stream_overlap: bool = False
+    # Hybrid-cache residency rotation (data/hybrid.py): the hot set is a
+    # window over the index space that advances by the cold-set size every
+    # epoch (entering rows adopted from the bytes that stream anyway), so
+    # triplet negatives / early-epoch samples cover the whole dataset across
+    # epochs instead of a fixed temporal prefix (VERDICT r3 weak #1). OFF
+    # reproduces the round-3 static prefix, kept for A/B (RESULTS.md).
+    hybrid_rotation: bool = True
 
     def __post_init__(self):
         if self.device_cache not in ("auto", "on", "off", "hybrid",
@@ -335,6 +342,7 @@ class SRLConfig:
             "num-cpu": self.num_cpu,
             "device-cache": self.device_cache,
             "stream-overlap": self.stream_overlap,
+            "hybrid-rotation": self.hybrid_rotation,
         }
 
     def save(self, log_folder: str) -> str:
@@ -387,6 +395,7 @@ class SRLConfig:
             num_cpu=int(cfg.get("num-cpu", 4)),
             device_cache=cfg.get("device-cache", "auto"),
             stream_overlap=bool(cfg.get("stream-overlap", False)),
+            hybrid_rotation=bool(cfg.get("hybrid-rotation", True)),
         )
 
     @classmethod
@@ -433,6 +442,7 @@ def build_config(args, losses: Dict[str, float], split_dims: Dict[str, int],
         pretrained_weights=getattr(args, "pretrained_weights", "") or "",
         device_cache=getattr(args, "device_cache", "auto"),
         stream_overlap=getattr(args, "stream_overlap", False),
+        hybrid_rotation=not getattr(args, "no_hybrid_rotation", False),
         data_folder=args.data_folder,
         log_folder=getattr(args, "log_folder", ""),
         num_cpu=getattr(args, "num_cpu", 4),

@@ -96,10 +96,18 @@ class DataLoader:
                  num_threads: Optional[int] = None, prefetch: int = 3,
                  max_queue_len: Optional[int] = None,
                  emit_images: bool = True,
-                 neg_pool: Optional[np.ndarray] = None):
+                 neg_pool: Optional[np.ndarray] = None,
+                 slot_map: Optional[np.ndarray] = None):
         """``emit_images=False`` is the HBM-cache mode: batches carry only
         index arrays and metadata; the jitted step gathers pixels from the
         device-resident frame store (data/device_cache.py).
+
+        ``slot_map`` (rotating hybrid cache, data/hybrid.py) maps global row
+        indices to store slots; when given, cached batches additionally carry
+        ``cache_slots`` / ``next_cache_slots`` / ``neg_cache_slots`` and the
+        jitted step gathers by slot instead of by global index. Cold (-1)
+        entries clamp to slot 0 — they only ever appear on loss-masked pad
+        rows.
 
         ``neg_pool`` is the index pool triplet negatives are drawn from
         (default: this loader's own indices). The hybrid cold phase passes
@@ -123,6 +131,13 @@ class DataLoader:
         self._neg_pool = np.asarray(neg_pool, np.int32) \
             if neg_pool is not None else self.indices
         self._episode_ids = dataset.episode_ids
+        # snapshot: the learner mutates its slot map at epoch boundaries and
+        # a lazily-consumed producer thread must not observe the mutation
+        self._slot_map = np.array(slot_map, np.int32) \
+            if slot_map is not None else None
+
+    def _slots(self, idx: np.ndarray) -> np.ndarray:
+        return np.maximum(self._slot_map[idx], 0).astype(np.int32)
 
     def __len__(self) -> int:
         b = self.cfg.batch_size
@@ -193,12 +208,18 @@ class DataLoader:
             batch["obs"] = self._observation(idx)
         if cfg.needs_next_obs and self.emit_images:
             batch["next_obs"] = self._observation(nxt)
+        if not self.emit_images and self._slot_map is not None:
+            batch["cache_slots"] = self._slots(idx)
+            if cfg.needs_next_obs:
+                batch["next_cache_slots"] = self._slots(nxt)
         if cfg.use_triplet:
             negs = samplers.triplet_negatives(idx, self._episode_ids,
                                               self._neg_pool, rng)
             if self.emit_images:
                 batch["pos_obs"] = self._fetch_images(idx, view=1)
                 batch["neg_obs"] = self._fetch_images(negs, view=0)
+            elif self._slot_map is not None:
+                batch["neg_cache_slots"] = self._slots(negs)
             else:
                 batch["neg_indices"] = negs.astype(np.int32)
         if cfg.use_priors:

@@ -71,7 +71,8 @@ def load_srl_model(log_folder: str, cfg: SRLConfig) -> Tuple:
 
 # ---- full-state resume checkpoints ---------------------------------------------
 def save_train_state(log_folder: str, state: TrainState,
-                     best_val: Optional[float] = None) -> str:
+                     best_val: Optional[float] = None,
+                     epoch: Optional[int] = None) -> str:
     ckpt_dir = os.path.join(log_folder, RESUME_DIR)
     os.makedirs(ckpt_dir, exist_ok=True)
     step = int(jax.device_get(state.step))
@@ -85,6 +86,11 @@ def save_train_state(log_folder: str, state: TrainState,
         # persisted so a resumed run keeps selecting against the pre-crash
         # best instead of overwriting srl_model.msgpack on its first epoch
         meta["best_val"] = float(best_val)
+    if epoch is not None:
+        # epochs COMPLETED — authoritative for resume (the step-count
+        # estimate drifts when the rotating hybrid partition makes
+        # steps/epoch vary by ±1)
+        meta["epoch"] = int(epoch)
     meta_path = os.path.join(ckpt_dir, "meta.json")
     with open(meta_path + ".tmp", "w") as f:
         json.dump(meta, f)
@@ -163,9 +169,10 @@ class AsyncCheckpointer:
             for kind, payload in jobs.items():
                 try:
                     if kind == "state":
-                        state, best_val = payload
+                        state, best_val, epoch = payload
                         save_train_state(self.log_folder,
-                                         jax.device_get(state), best_val)
+                                         jax.device_get(state), best_val,
+                                         epoch=epoch)
                     elif kind == "model":
                         save_srl_model(self.log_folder, *payload)
                 except BaseException as e:  # surfaced in close()
@@ -188,8 +195,9 @@ class AsyncCheckpointer:
         self._event.set()
 
     def save_state(self, state: TrainState,
-                   best_val: Optional[float] = None) -> None:
-        self._submit("state", (_device_copy(state), best_val))
+                   best_val: Optional[float] = None,
+                   epoch: Optional[int] = None) -> None:
+        self._submit("state", (_device_copy(state), best_val, epoch))
 
     def save_model(self, params, batch_stats) -> None:
         self._submit("model", (_device_copy(params),

@@ -146,7 +146,8 @@ class SRL4robotics:
         self.state = jax.device_put(self.state, rep)
         self._cache = None
         self._cache_key = None
-        self._cache_hot_n = None  # int => hybrid cache hot-prefix size
+        self._cache_hot_n = None  # int => hybrid cache hot-set size
+        self._hot_store = None    # data/hybrid.RotatingHotStore in hybrid mode
         n_params = sum(p.size for p in
                        jax.tree_util.tree_leaves(self.state.params))
         printGreen(f"Model: {cfg.model_type}, {n_params / 1e6:.2f}M params, "
@@ -180,6 +181,7 @@ class SRL4robotics:
         needs_view2 = cfg.multi_view or cfg.use_triplet
         hw = (cfg.img_height, cfg.img_width)
         self._cache_hot_n = None
+        self._hot_store = None
         if cfg.device_cache == "sharded":
             # frame store sharded over the mesh: the HBM budget becomes
             # mesh-aggregate (d x per-chip), gathers ride ICI
@@ -213,10 +215,16 @@ class SRL4robotics:
                 raise ValueError("--device-cache hybrid, but the dataset has "
                                  "no frames.npy at the training resolution")
             if hot_n >= 2 * cfg.batch_size:
+                from srl_zoo_tpu.data.hybrid import RotatingHotStore
+                mode = "rotating residency" if cfg.hybrid_rotation \
+                    else "static prefix (--no-hybrid-rotation)"
                 printGreen(f"Hybrid HBM cache: {hot_n}/{dataset.n_samples} "
-                           "frames resident, cold tail streams per epoch")
-                self._cache = dc.build_cache(dataset, self.mesh, needs_view2,
-                                             hot_n=hot_n)
+                           f"frames resident ({mode}), cold remainder "
+                           "streams per epoch")
+                self._hot_store = RotatingHotStore(
+                    dataset, self.mesh, cfg, hot_n,
+                    rotate=cfg.hybrid_rotation)
+                self._cache = self._hot_store.cache
                 self._cache_hot_n = hot_n
             else:
                 if hot_n > 0:
@@ -227,47 +235,61 @@ class SRL4robotics:
         return self._cache
 
     def _split_hot_cold(self, indices: np.ndarray, for_encode: bool = False):
-        """Boolean mask of indices servable from the (hybrid) hot store.
-        Training gathers idx+1 for next_obs, so a hot row needs idx+1 < hot_n;
-        encode-only access just needs idx < hot_n."""
-        hot_n = self._cache_hot_n
-        if hot_n is None:
+        """Boolean mask of indices servable from the (hybrid) hot store for
+        THIS epoch's window (data/hybrid.py). Training gathers idx+1 for
+        next_obs, so a training-hot row needs its successor resident too;
+        encode-only access just needs the row itself."""
+        if self._hot_store is None:
             return np.ones(len(indices), bool)
-        lim = hot_n if (for_encode or not self.cfg.needs_next_obs) \
-            else hot_n - 1
-        return np.asarray(indices) < lim
+        if for_encode:
+            return self._hot_store.resident_mask(indices)
+        return self._hot_store.trainable_mask(indices)
 
     def _make_phase_loaders(self, dataset: Dataset, indices: np.ndarray,
-                            cache, shuffle: bool, wraparound: bool):
+                            cache, shuffle: bool, wraparound: bool,
+                            seed_offset: int = 0):
         """[(loader, use_cache)] — one phase in full-cache/streaming modes,
         hot + cold phases in hybrid mode (each batch is entirely servable
         from HBM or entirely streamed, keeping the jitted programs
-        static-shaped)."""
+        static-shaped).
+
+        ``seed_offset`` keeps per-epoch shuffles/pair draws on the same rng
+        stream when the rotating hybrid mode rebuilds loaders every epoch
+        (DataLoader draws from seed + epoch either way)."""
         cfg = self.cfg
         if len(indices) == 0:
             return []
+        seed = cfg.seed + seed_offset
         if cache is None:
             return [(DataLoader(dataset, indices, cfg, shuffle=shuffle,
-                                seed=cfg.seed, wraparound=wraparound,
+                                seed=seed, wraparound=wraparound,
                                 emit_images=True,
                                 num_threads=cfg.num_cpu), False)]
         hot_mask = self._split_hot_cold(indices)
+        store = self._hot_store
         phases = []
         if hot_mask.any():
-            phases.append((DataLoader(dataset, indices[hot_mask], cfg,
-                                      shuffle=shuffle, seed=cfg.seed,
-                                      wraparound=wraparound,
-                                      emit_images=False,
-                                      num_threads=cfg.num_cpu), True))
+            # Hot triplet negatives must be gatherable from the store, so
+            # their pool is this epoch's RESIDENT rows (encode access). With
+            # rotation the window moves every epoch, so negatives cover the
+            # whole split across epochs; the static-prefix mode keeps the
+            # (documented) prefix-local restriction.
+            hot_negs = indices[self._split_hot_cold(indices,
+                                                    for_encode=True)] \
+                if (store is not None and cfg.use_triplet) else None
+            phases.append((DataLoader(
+                dataset, indices[hot_mask], cfg,
+                shuffle=shuffle, seed=seed, wraparound=wraparound,
+                emit_images=False, num_threads=cfg.num_cpu,
+                neg_pool=hot_negs,
+                slot_map=store.slot_of if (store is not None
+                                           and store.rotate) else None),
+                True))
         if not hot_mask.all():
             # neg_pool=indices: the cold phase streams pixels from disk, so
-            # its triplet negatives may come from ANYWHERE in the split —
-            # restricting them to the cold partition would bias negatives
-            # toward a temporal suffix of the dataset. The hot phase cannot
-            # get the same treatment (its negative gather must hit the
-            # resident prefix); that residual bias is documented in STATUS.
+            # its triplet negatives may come from ANYWHERE in the split.
             phases.append((DataLoader(dataset, indices[~hot_mask], cfg,
-                                      shuffle=shuffle, seed=cfg.seed,
+                                      shuffle=shuffle, seed=seed,
                                       wraparound=wraparound,
                                       emit_images=True,
                                       num_threads=cfg.num_cpu,
@@ -299,7 +321,10 @@ class SRL4robotics:
         printGreen(f"Ported pretrained ResNet-18 weights from {weights_path}")
 
     def _sharded_stream(self, loader):
-        """Yield (device_batch, n_rows) for a streaming-phase loader.
+        """Yield (device_batch, n_rows, host_indices) for a streaming-phase
+        loader. ``host_indices`` is the batch's global row-index array kept
+        host-side — the rotating hybrid cache's adoption bookkeeping
+        (data/hybrid.py maybe_adopt) needs it without a device round trip.
 
         With ``cfg.stream_overlap`` batch k+1's host->device transfer
         (shard_batch -> device_put, asynchronous) is issued BEFORE step k is
@@ -308,19 +333,23 @@ class SRL4robotics:
         host's serializing tunnel but collapses step-time variance; expected
         to genuinely overlap on PCIe hosts (docs/PERF.md r3; VERDICT r2
         next #10). Default OFF."""
+        def pack(batch):
+            return (shard_batch(batch, self.mesh), len(batch["valid"]),
+                    batch["indices"])
+
         if not self.cfg.stream_overlap:
             for batch in loader:
-                yield shard_batch(batch, self.mesh), len(batch["valid"])
+                yield pack(batch)
             return
         it = iter(loader)
         try:
             first = next(it)
         except StopIteration:
             return
-        nxt = (shard_batch(first, self.mesh), len(first["valid"]))
+        nxt = pack(first)
         for batch in it:
             cur = nxt
-            nxt = (shard_batch(batch, self.mesh), len(batch["valid"]))
+            nxt = pack(batch)
             yield cur
         yield nxt
 
@@ -385,13 +414,26 @@ class SRL4robotics:
             return {"total": 0.0}
 
         cache = self._ensure_cache(dataset)
-        train_phases = self._make_phase_loaders(dataset, train_idx, cache,
-                                                shuffle=True, wraparound=True)
-        # wraparound=False: the final partial val batch is padded + masked
-        # (not refilled with recycled samples), so val metrics are exact
-        # per-sample means (VERDICT r1 weak #3)
-        val_phases = self._make_phase_loaders(dataset, val_idx, cache,
-                                              shuffle=False, wraparound=False)
+        # rotating hybrid mode: the hot/cold partition moves every epoch, so
+        # phase loaders are rebuilt per epoch (data/hybrid.py); other modes
+        # keep persistent loaders (their internal epoch counter drives the
+        # per-epoch shuffle/pair redraws)
+        rotating = self._hot_store is not None and self._hot_store.rotate
+
+        def make_train_phases(epoch: int):
+            return self._make_phase_loaders(
+                dataset, train_idx, cache, shuffle=True, wraparound=True,
+                seed_offset=epoch if rotating else 0)
+
+        def make_val_phases():
+            # wraparound=False: the final partial val batch is padded +
+            # masked (not refilled with recycled samples), so val metrics
+            # are exact per-sample means (VERDICT r1 weak #3)
+            return self._make_phase_loaders(dataset, val_idx, cache,
+                                            shuffle=False, wraparound=False)
+
+        train_phases = make_train_phases(0)
+        val_phases = make_val_phases()
         steps_per_epoch = sum(len(loader) for loader, _ in train_phases)
 
         self.rng, train_rng, eval_rng = jax.random.split(self.rng, 3)
@@ -405,15 +447,23 @@ class SRL4robotics:
                 self.state = jax.device_put(restored,
                                             replicated_sharding(self.mesh))
                 steps_done = int(jax.device_get(self.state.step))
-                start_epoch = min(steps_done // max(steps_per_epoch, 1),
-                                  cfg.epochs)
+                meta = ckpt.load_meta(self.log_folder)
+                # epoch is recorded in the checkpoint meta; the step-count
+                # estimate remains the fallback for pre-r4 checkpoints (the
+                # rotating partition makes steps/epoch vary by ±1)
+                start_epoch = min(int(meta.get(
+                    "epoch", steps_done // max(steps_per_epoch, 1))),
+                    cfg.epochs)
                 # keep selecting against the pre-crash best: without this a
                 # resumed run's first epoch always overwrote a possibly
                 # better srl_model.msgpack
-                best_val = float(ckpt.load_meta(self.log_folder)
-                                 .get("best_val", float("inf")))
+                best_val = float(meta.get("best_val", float("inf")))
                 printGreen(f"Resumed from step {steps_done} "
                            f"(epoch {start_epoch}, best val {best_val:.4f})")
+                if rotating and start_epoch:
+                    # fast-forward the residency window to where the crashed
+                    # run left it (slot bookkeeping + one bulk re-upload)
+                    self._hot_store.replay_to(start_epoch)
 
         # best weights tracked as ON-DEVICE copies: no per-improvement
         # device->host transfer on the critical path (the async checkpoint
@@ -434,6 +484,9 @@ class SRL4robotics:
                         os.path.join(self.log_folder, "profile"))
                     profiling = True
                 t_epoch = time.time()
+                if rotating:
+                    self._hot_store.begin_epoch()
+                    train_phases = make_train_phases(epoch)
                 acc = []
                 n_images = 0
                 for loader, use_cache in train_phases:
@@ -451,12 +504,18 @@ class SRL4robotics:
                         # carry uint8 pixels, bounded by the host link;
                         # _sharded_stream optionally double-buffers the
                         # transfers (--stream-overlap, docs/PERF.md r3)
-                        for sharded, n_rows in self._sharded_stream(loader):
+                        for sharded, n_rows, host_idx in \
+                                self._sharded_stream(loader):
                             self.state, metrics = self.train_step(
                                 self.state, sharded, train_rng, None)
                             step += 1
                             n_images += n_rows
                             acc.append(metrics)  # on device; reduced per epoch
+                            if self._hot_store is not None:
+                                # rotation: scatter entering rows' already-
+                                # on-device bytes into the store (no-op
+                                # outside a pending rotation)
+                                self._hot_store.maybe_adopt(host_idx, sharded)
                 train_metrics = _mean_metrics(acc)
                 dt = time.time() - t_epoch
                 ips = n_images / max(dt, 1e-9)
@@ -464,10 +523,17 @@ class SRL4robotics:
                     jax.profiler.stop_trace()
                     profiling = False
 
+                if rotating:
+                    val_phases = make_val_phases()
                 if val_phases:
                     val_metrics = self._run_eval(val_phases, cache, eval_rng)
                 else:
                     val_metrics = train_metrics
+                if rotating:
+                    # commit the rotation AFTER val (val's cold batches adopt
+                    # too) and BEFORE the checkpoint/callback so any export
+                    # sees a consistent store
+                    self._hot_store.advance()
 
                 logger.log_epoch(epoch, train_metrics, val_metrics)
                 logger.log_step(step, {f"train/{k}": v
@@ -486,7 +552,8 @@ class SRL4robotics:
                     ckpt_writer.save_model(*best_params)
                 if (epoch + 1) % max(checkpoint_every, 1) == 0 \
                         or epoch == cfg.epochs - 1:
-                    ckpt_writer.save_state(self.state, best_val)
+                    ckpt_writer.save_state(self.state, best_val,
+                                           epoch=epoch + 1)
                 if epoch_callback is not None:
                     epoch_callback(self, epoch, train_metrics, val_metrics)
         except BaseException:
@@ -544,6 +611,10 @@ class SRL4robotics:
             # build EVAL-style loaders over the train split (wraparound=False
             # + masks, per the eval invariant) rather than reusing the
             # wrapping train loaders, which would double-count fill rows.
+            if rotating:
+                # pre-loop val loaders were built at the epoch-0 window; a
+                # resumed-finished run's window is wherever replay left it
+                val_phases = make_val_phases()
             phases = val_phases or self._make_phase_loaders(
                 dataset, train_idx, cache, shuffle=False, wraparound=False)
             val_metrics = self._run_eval(phases, cache, eval_rng)
@@ -559,9 +630,11 @@ class SRL4robotics:
                 sharded = shard_stacked_batch(stacked, self.mesh)
                 vacc.append(self.eval_epoch(self.state, sharded, rng, cache))
             else:
-                for sharded, _ in self._sharded_stream(loader):
+                for sharded, _, host_idx in self._sharded_stream(loader):
                     vacc.append(self.eval_step(self.state, sharded, rng,
                                                None))
+                    if self._hot_store is not None:
+                        self._hot_store.maybe_adopt(host_idx, sharded)
         return _mean_metrics(vacc)
 
     # ---- inference / export ----------------------------------------------------
@@ -586,13 +659,20 @@ class SRL4robotics:
             if jax.process_count() == 1 else rep
 
         def encode_subset(subset: np.ndarray, subset_cache) -> np.ndarray:
+            # rotating hybrid store: resident rows are addressed by SLOT
+            slot_map = self._hot_store.slot_of \
+                if (subset_cache is not None and self._hot_store is not None
+                    and self._hot_store.rotate) else None
             loader = DataLoader(dataset, subset, cfg, shuffle=False,
                                 seed=0, wraparound=False,
                                 emit_images=subset_cache is None,
-                                num_threads=cfg.num_cpu)
+                                num_threads=cfg.num_cpu, slot_map=slot_map)
             out = []
             for batch in loader:
-                key = "indices" if subset_cache is not None else "obs"
+                if subset_cache is None:
+                    key = "obs"
+                else:
+                    key = "cache_slots" if slot_map is not None else "indices"
                 arr = batch[key]
                 sh = bs_shard if arr.shape[0] % n_dev == 0 else rep
                 arg = jax.device_put(arr, sh)

@@ -71,7 +71,11 @@ def build_steps(cfg: SRLConfig, model: SRLModules, tx,
                     batch.get("neg_obs"))
         frames = cache["frames"]
         n = frames.shape[0]
-        idx = batch["indices"]
+        # rotating hybrid batches (data/hybrid.py) address the store by SLOT
+        # (cache_slots / next_cache_slots / neg_cache_slots); full-cache and
+        # sharded-store batches address it by global index. Key presence is
+        # static per compiled program, so the fast paths are untouched.
+        idx = batch.get("cache_slots", batch["indices"])
 
         def grab(i):
             o = take_rows(frames, i)
@@ -81,11 +85,15 @@ def build_steps(cfg: SRLConfig, model: SRLModules, tx,
             return o
 
         obs = grab(idx)
-        next_obs = grab(jnp.minimum(idx + 1, n - 1)) if cfg.needs_next_obs \
-            else None
+        next_obs = None
+        if cfg.needs_next_obs:
+            nxt = batch.get("next_cache_slots")
+            next_obs = grab(nxt if nxt is not None
+                            else jnp.minimum(idx + 1, n - 1))
         pos = take_rows(cache["frames_2"], idx) if cfg.use_triplet \
             else None
-        neg = take_rows(frames, batch["neg_indices"]) \
+        neg = take_rows(frames, batch.get("neg_cache_slots",
+                                          batch.get("neg_indices"))) \
             if cfg.use_triplet else None
         return obs, next_obs, pos, neg
 

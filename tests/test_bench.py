@@ -211,3 +211,78 @@ def test_perf_gate_missing_row_is_visible():
     rows = {n: (d, b) for n, d, b in
             perf_gate.gate_details(base, {"value": 17000.0}, 0.15)}
     assert rows["cached_a"][1] is False
+
+
+def test_perf_gate_hybrid_parts_are_gated():
+    """The hybrid row's phases gate separately (VERDICT r3 next #5):
+    hybrid_hot_* is chip-bound -> hard-gated; hybrid_cold_* is link-bound ->
+    link-normalized; the combined hybrid_* row stays report-only. A -30%
+    hot-phase drop at an equal link must FAIL."""
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "ci"))
+    try:
+        import perf_gate
+    finally:
+        sys.path.pop(0)
+
+    base = {"value": 17000.0, "link_mbps": 100.0,
+            "detail": {"hybrid_b128": 700.0, "hybrid_hot_b128": 15000.0,
+                       "hybrid_cold_b128": 350.0, "hybrid_f_hot": 0.5}}
+
+    def verdicts(cur, band=0.15):
+        return {n: bad for n, _, bad in
+                perf_gate.gate_details(base, cur, band)}
+
+    assert verdicts(dict(base)) == {"hybrid_b128": False,
+                                    "hybrid_hot_b128": False,
+                                    "hybrid_cold_b128": False,
+                                    "hybrid_f_hot": False}
+    # synthetic -30% hot regression at equal link: fails (the r2->r3 blind
+    # spot where a combined 688->548 drop was unattributable)
+    cur = {"value": 17000.0, "link_mbps": 100.0,
+           "detail": {"hybrid_b128": 500.0, "hybrid_hot_b128": 10500.0,
+                      "hybrid_cold_b128": 350.0, "hybrid_f_hot": 0.5}}
+    v = verdicts(cur)
+    assert v["hybrid_hot_b128"] is True
+    assert v["hybrid_b128"] is False  # combined stays report-only
+    # cold halved BECAUSE the link halved: link-normalized -> OK
+    cur = {"value": 17000.0, "link_mbps": 50.0,
+           "detail": {"hybrid_b128": 400.0, "hybrid_hot_b128": 15000.0,
+                      "hybrid_cold_b128": 175.0, "hybrid_f_hot": 0.5}}
+    assert verdicts(cur)["hybrid_cold_b128"] is False
+    # cold halved at the SAME link: real regression
+    cur = {"value": 17000.0, "link_mbps": 100.0,
+           "detail": {"hybrid_b128": 400.0, "hybrid_hot_b128": 15000.0,
+                      "hybrid_cold_b128": 175.0, "hybrid_f_hot": 0.5}}
+    assert verdicts(cur)["hybrid_cold_b128"] is True
+
+
+def test_perf_gate_skips_outage_baselines(tmp_path, monkeypatch):
+    """latest_baseline must skip BENCH files whose headline is 0/error (a
+    driver-side outage) instead of letting them become a vacuous floor
+    (VERDICT r3 weak #7)."""
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "ci"))
+    try:
+        import perf_gate
+    finally:
+        sys.path.pop(0)
+
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps({"value": 9000.0}))
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps(
+        {"value": 0.0, "error": "backend init timed out"}))
+    monkeypatch.setattr(perf_gate, "REPO", str(tmp_path))
+    path, doc = perf_gate.latest_baseline()
+    assert path.endswith("BENCH_r01.json")
+    assert perf_gate.extract_value(doc) == 9000.0
+    # a torn/unparseable newest file is skipped too (crashed driver write)
+    (tmp_path / "BENCH_r03.json").write_text("not json at all")
+    path, _ = perf_gate.latest_baseline()
+    assert path.endswith("BENCH_r01.json")
+    # nothing usable at all -> None
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps({"value": 0.0}))
+    assert perf_gate.latest_baseline() is None

@@ -88,6 +88,58 @@ def test_dryrun_equivalence_catches_broken_sharding(monkeypatch):
         g.dryrun_multichip(8)
 
 
+def test_dryrun_equivalence_catches_broken_scan_sharding(monkeypatch):
+    """Rolling the stacked epoch batch's index rows only on the multi-device
+    mesh must fail the SCAN-path equivalence (VERDICT r3 next #3: a bug
+    specific to the whole-epoch scan used to pass the driver artifact).
+    The liveness scan (finiteness only) shares the tampered shapes and must
+    NOT be what catches it — the [scan] equivalence is."""
+    sys.path.insert(0, REPO)
+    try:
+        import __graft_entry__ as g
+    finally:
+        sys.path.pop(0)
+    from srl_zoo_tpu.parallel import mesh as mesh_mod
+    real = mesh_mod.shard_stacked_batch
+
+    def skewed(batches, mesh):
+        if mesh.devices.size > 1 and "indices" in batches:
+            batches = dict(batches)
+            batches["indices"] = np.roll(batches["indices"], 1, axis=1)
+        return real(batches, mesh)
+
+    monkeypatch.setattr(mesh_mod, "shard_stacked_batch", skewed)
+    with pytest.raises(AssertionError, match=r"\[scan\].*loss mismatch"):
+        g.dryrun_multichip(8)
+
+
+def test_dryrun_equivalence_catches_misordered_sharded_store(monkeypatch):
+    """A mis-ordered shard in the SHARDED frame store — rows rolled by one
+    when uploading to the multi-device mesh — must fail the [sharded]
+    training-path equivalence (VERDICT r3 next #3 done-criterion). The
+    tamper targets only the equivalence store (the liveness gather check
+    uses a different store size and still passes exactness)."""
+    sys.path.insert(0, REPO)
+    try:
+        import __graft_entry__ as g
+    finally:
+        sys.path.pop(0)
+    from srl_zoo_tpu.ops import sharded_store as ss
+    real = ss.shard_frames
+
+    def misordered(frames, mesh):
+        # 32 rows == the equivalence store (batch 4*n_devices); the liveness
+        # store has 16 — leave it intact so the exactness check passes and
+        # the EQUIVALENCE is what must bite
+        if mesh.devices.size > 1 and frames.shape[0] == 32:
+            frames = np.roll(frames, 1, axis=0)
+        return real(frames, mesh)
+
+    monkeypatch.setattr(ss, "shard_frames", misordered)
+    with pytest.raises(AssertionError, match=r"\[sharded\].*loss mismatch"):
+        g.dryrun_multichip(8)
+
+
 def test_private_api_loss_raises_loudly(monkeypatch):
     """Simulate a jax upgrade dropping the jax._src.xla_bridge reset hooks
     while a too-small backend is initialized: _force_virtual_cpu_devices must

@@ -283,6 +283,7 @@ def test_hybrid_cache_trains_and_exports(synthetic_dataset, tmp_path,
     # identical params, pure-streaming encode must give identical states
     learner.cfg = cfg.replace(device_cache="off")
     learner._cache, learner._cache_hot_n, learner._cache_key = None, None, None
+    learner._hot_store = None
     states_stream = learner.predict_states(ds)
     np.testing.assert_allclose(states_hybrid, states_stream, atol=1e-5)
 
@@ -290,9 +291,14 @@ def test_hybrid_cache_trains_and_exports(synthetic_dataset, tmp_path,
 def test_hybrid_split_respects_next_obs(synthetic_dataset, tmp_path):
     """Hot rows must have idx+1 inside the hot store when the config needs
     next_obs, but only idx itself for encode-only access."""
+    from srl_zoo_tpu.data.hybrid import RotatingHotStore
+
     cfg = _cfg(synthetic_dataset, tmp_path,
                losses=(("priors", 1.0),),)
     learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+    learner._hot_store = RotatingHotStore(synthetic_dataset, learner.mesh,
+                                          cfg, hot_n=10)
+    learner._cache = learner._hot_store.cache
     learner._cache_hot_n = 10
     idx = np.arange(13)
     train_mask = learner._split_hot_cold(idx)

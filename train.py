@@ -122,6 +122,14 @@ def parse_args(argv=None) -> argparse.Namespace:
                              "serializing tunnel link (measured, PERF.md); "
                              "turn on for PCIe hosts with independent DMA "
                              "engines")
+    parser.add_argument("--no-hybrid-rotation", action="store_true",
+                        default=False,
+                        help="Hybrid cache only: pin the HBM-resident hot "
+                             "set to the static index prefix instead of "
+                             "rotating residency across epochs "
+                             "(data/hybrid.py; rotation is the default and "
+                             "removes the prefix-local triplet-negative / "
+                             "sample-order bias)")
     # ---- multi-host (DCN) attach: every host runs the same command with its
     # own --process-id; flags default from the SRL_ZOO_* env so pod launchers
     # can inject them without templating the command line
