@@ -26,6 +26,25 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def shard_array(arr: np.ndarray, mesh: Mesh) -> jax.Array:
+    """Shard ONE array's leading axis over the mesh (replicate when not
+    divisible). Multi-process meshes contribute each process's contiguous
+    row slice via make_array_from_process_local_data — the same
+    same-seed => same-global-array contract as shard_batch. Used by the
+    state-export path (learner.predict_states), where replicating would
+    make every chip redundantly encode every batch."""
+    n_dev = mesh.devices.size
+    if arr.ndim < 1 or arr.shape[0] % n_dev != 0:
+        return jax.device_put(arr, replicated_sharding(mesh))
+    bs = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        pc, pi = jax.process_count(), jax.process_index()
+        rows = arr.shape[0] // pc
+        return jax.make_array_from_process_local_data(
+            bs, np.ascontiguousarray(arr[rows * pi:rows * (pi + 1)]))
+    return jax.device_put(arr, bs)
+
+
 def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, Any]:
     """device_put the whole batch dict in ONE call (one host->device
     transaction instead of one per array — the per-put latency through a

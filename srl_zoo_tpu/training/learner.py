@@ -647,16 +647,14 @@ class SRL4robotics:
             indices = np.arange(dataset.n_samples, dtype=np.int32)
         indices = np.asarray(indices, np.int32)
         cache = self._ensure_cache(dataset)
-        rep = replicated_sharding(self.mesh)
         # shard the export batches over the mesh like training does —
         # replicated inputs would make every device redundantly encode the
-        # full batch (~n_dev x slower export). Multi-process runs keep the
-        # replicated layout (a global device_put needs per-process local
-        # shards; the export volume doesn't justify that plumbing).
-        n_dev = self.mesh.devices.size
-        from srl_zoo_tpu.parallel.mesh import batch_sharding
-        bs_shard = batch_sharding(self.mesh) \
-            if jax.process_count() == 1 else rep
+        # full batch (~n_dev x slower export). Multi-process runs feed each
+        # process's contiguous row slice (shard_array handles the
+        # make_array_from_process_local_data assembly); the gathered states
+        # come back non-addressable and are reassembled by the
+        # process_allgather branch below.
+        from srl_zoo_tpu.parallel.mesh import shard_array
 
         def encode_subset(subset: np.ndarray, subset_cache) -> np.ndarray:
             # rotating hybrid store: resident rows are addressed by SLOT
@@ -673,9 +671,7 @@ class SRL4robotics:
                     key = "obs"
                 else:
                     key = "cache_slots" if slot_map is not None else "indices"
-                arr = batch[key]
-                sh = bs_shard if arr.shape[0] % n_dev == 0 else rep
-                arg = jax.device_put(arr, sh)
+                arg = shard_array(batch[key], self.mesh)
                 states_dev = self.encode_step(self.state, arg, subset_cache)
                 if not states_dev.is_fully_addressable:
                     # multi-process + sharded frame store: the gathered rows

@@ -190,6 +190,90 @@ def test_sharded_store_gather_across_processes(tmp_path):
         assert "gather across processes OK" in out
 
 
+_EXPORT_WORKER = """
+import os, sys
+n_local = sys.argv[1]; pid = int(sys.argv[2]); port = sys.argv[3]
+npz_out = sys.argv[4]; data = sys.argv[5]; cache = sys.argv[6]
+n_proc = int(sys.argv[7])
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+    f" --xla_force_host_platform_device_count={n_local}"
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, os.getcwd())  # the repo (the script itself lives in tmp)
+import jax
+jax.config.update("jax_platforms", "cpu")
+if n_proc > 1:
+    jax.distributed.initialize(f"127.0.0.1:{port}", n_proc, pid)
+import numpy as np
+from srl_zoo_tpu.config import SRLConfig
+from srl_zoo_tpu.data.schema import load_dataset
+from srl_zoo_tpu.training.learner import SRL4robotics
+ds = load_dataset(data)
+cfg = SRLConfig(state_dim=4, img_height=32, img_width=32, batch_size=16,
+                epochs=1, losses=(("autoencoder", 1.0),),
+                split_dims=(("autoencoder", -1),),
+                n_actions=ds.n_actions, n_reward_classes=ds.n_reward_classes,
+                data_folder=data, device_cache=cache,
+                log_folder=npz_out + f".logs{pid}")
+# untrained learner: init weights are seed-deterministic, so single- and
+# multi-process exports must agree bit for bit (no optimizer in the loop)
+learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+states = learner.predict_states(ds)
+if pid == 0:
+    np.savez(npz_out, states=states)
+print(f"[{pid}] export OK shape={states.shape}")
+"""
+
+
+@pytest.mark.slow
+def test_two_process_state_export_matches_single_process(tmp_path):
+    """VERDICT r3 #7: multi-process state export is SHARDED — each process
+    feeds its contiguous row slice (parallel/mesh.shard_array), the encoded
+    states come back non-addressable and are reassembled via
+    process_allgather — and matches the single-process export over the same
+    8 global devices, both streaming and with the sharded frame store.
+
+    Tolerance note: NOT bit-for-bit — the 2-process SPMD partitioning
+    compiles a different program whose conv-reduction association differs
+    (measured: max |delta| ~1e-7 on an untrained forward pass). A
+    mis-assembled global batch (wrong shard order / row duplication) shows
+    up at O(1); 1e-6 catches it with 10x margin over reassociation noise."""
+    from srl_zoo_tpu.data.synthetic import generate_dataset
+    data = str(tmp_path / "synth")
+    generate_dataset(data, n_episodes=4, episode_len=24, img_size=32, seed=0)
+    script = tmp_path / "worker.py"
+    script.write_text(_EXPORT_WORKER)
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+
+    def run(n_local, pid, port, npz, cache, n_proc):
+        return subprocess.Popen(
+            [sys.executable, str(script), str(n_local), str(pid), str(port),
+             npz, data, cache, str(n_proc)],
+            cwd=REPO, env=env, text=True,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+
+    for cache in ("off", "sharded"):
+        single_npz = str(tmp_path / f"single_{cache}.npz")
+        p = run(8, 0, 0, single_npz, cache, 1)
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, out[-2000:]
+
+        port = _free_port()
+        multi_npz = str(tmp_path / f"multi_{cache}.npz")
+        p0 = run(4, 0, port, multi_npz, cache, 2)
+        p1 = run(4, 1, port, multi_npz, cache, 2)
+        out0, out1 = _drain_pair(p0, p1, 300)
+        assert p0.returncode == 0, out0[-2000:]
+        assert p1.returncode == 0, out1[-2000:]
+        assert "8-device data-parallel mesh" in out0, out0[-2000:]
+
+        s_single = np.load(single_npz)["states"]
+        s_multi = np.load(multi_npz)["states"]
+        assert s_single.shape == (96, 4)
+        np.testing.assert_allclose(s_single, s_multi, rtol=1e-4, atol=1e-6,
+                                   err_msg=f"cache={cache}")
+
+
 @pytest.mark.slow
 def test_two_process_sharded_cache_cli(tmp_path):
     """--device-cache sharded across processes through the REAL CLI: the
