@@ -169,25 +169,40 @@ def test_nonconv_encoders_train_end_to_end(model_type, synthetic_dataset,
 
 def test_episode_prior_separate_optimizer(synthetic_dataset, tmp_path):
     """--episode-prior-optimizer separate: the discriminator subtree gets
-    its own Adam moments (optax.multi_transform) and training stays finite
-    (VERDICT r2 next #9 / docs/DESIGN_DECISIONS.md #4)."""
+    its own Adam moments (optax.multi_transform), training stays finite
+    (VERDICT r2 next #9) — and the two modes are EXACTLY equivalent at
+    equal hyperparameters, because Adam is elementwise: partitioning
+    disjoint parameter subtrees across two Adams with the same lr/betas
+    changes no update (docs/DESIGN_DECISIONS.md #4, settled empirically in
+    round 4: bit-identical loss history here and through 30-epoch
+    RESULTS.md runs). The flag stays for upstream-parity diffing — it only
+    matters if the discriminator ever gets different hyperparameters."""
     ds = synthetic_dataset
-    cfg = SRLConfig(state_dim=4, img_height=32, img_width=32, batch_size=16,
-                    epochs=1, losses=(("episode-prior", 1.0),
-                                      ("autoencoder", 1.0)),
-                    split_dims=(("episode-prior", -1),
-                                ("autoencoder", -1)),
-                    episode_prior_optimizer="separate",
-                    n_actions=ds.n_actions, device_cache="on",
-                    log_folder=str(tmp_path / "ep_sep"))
-    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
-    # multi_transform wraps the two Adams in a per-label inner state
-    import optax
-    assert isinstance(learner.state.opt_state, optax.MultiTransformState)
-    metrics = learner.learn(ds)
-    assert np.isfinite(metrics["total"])
-    hist = np.load(tmp_path / "ep_sep" / "loss_history.npz")
-    assert "train/episode-prior/discriminator" in hist
+    hists = {}
+    for mode in ("separate", "shared"):
+        cfg = SRLConfig(state_dim=4, img_height=32, img_width=32,
+                        batch_size=16, epochs=1,
+                        losses=(("episode-prior", 1.0),
+                                ("autoencoder", 1.0)),
+                        split_dims=(("episode-prior", -1),
+                                    ("autoencoder", -1)),
+                        episode_prior_optimizer=mode,
+                        n_actions=ds.n_actions, device_cache="on",
+                        log_folder=str(tmp_path / f"ep_{mode}"))
+        learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
+        if mode == "separate":
+            # multi_transform wraps the two Adams in a per-label inner state
+            import optax
+            assert isinstance(learner.state.opt_state,
+                              optax.MultiTransformState)
+        metrics = learner.learn(ds)
+        assert np.isfinite(metrics["total"])
+        hists[mode] = np.load(tmp_path / f"ep_{mode}" / "loss_history.npz")
+    assert "train/episode-prior/discriminator" in hists["separate"]
+    for key in hists["shared"].files:
+        np.testing.assert_array_equal(hists["shared"][key],
+                                      hists["separate"][key],
+                                      err_msg=key)
 
 
 def test_random_features_cli(tmp_path, monkeypatch):
