@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Hybrid residency rotation quality A/B (VERDICT r3 #2's "quantify" half).
+
+The round-3 hybrid cache used a STATIC temporal prefix as the hot set:
+hot-phase triplet negatives were confined to the resident prefix and sample
+order correlated with dataset position every epoch. Round 4 rotates the
+residency window per epoch (data/hybrid.py). This script measures the
+quality delta on the scenario where the bias bites hardest: an over-budget
+MULTI-VIEW triplet run at ~50% hot fraction — triplet's negative pool is the
+thing the static prefix restricted.
+
+Same seeds, both modes (--hybrid-rotation vs --no-hybrid-rotation), GTC +
+KNN-MSE of the exported states. Budget is forced via SRL_ZOO_CACHE_BUDGET_MB
+(set before the device_cache import reads it).
+
+Run on the TPU host:  python benchmarks/hybrid_rotation_ab.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+# ~50% hot at 4000 multi-view 224px frames: 2 x 150528 B/frame -> 600 MB
+# budget holds ~2088 of 4000. Must be set before device_cache is imported.
+os.environ.setdefault("SRL_ZOO_CACHE_BUDGET_MB", "600")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from srl_zoo_tpu.utils.platform import honor_env_platform  # noqa: E402
+
+honor_env_platform()
+
+import numpy as np  # noqa: E402
+
+from srl_zoo_tpu.config import SRLConfig  # noqa: E402
+from srl_zoo_tpu.data.schema import load_dataset  # noqa: E402
+from srl_zoo_tpu.data.synthetic import generate_dataset  # noqa: E402
+from srl_zoo_tpu.evaluation.gtc import ground_truth_correlation  # noqa: E402
+from srl_zoo_tpu.evaluation.knn import knn_mse  # noqa: E402
+from srl_zoo_tpu.training.learner import SRL4robotics  # noqa: E402
+
+
+def run_one(ds, rotate: bool, seed: int, workdir: str, epochs: int) -> dict:
+    mode = "rotating" if rotate else "static"
+    log = os.path.join(workdir, f"{mode}_s{seed}")
+    cfg = SRLConfig(state_dim=200, img_height=224, img_width=224,
+                    batch_size=128, epochs=epochs,
+                    losses=(("triplet", 1.0),),
+                    split_dims=(("triplet", -1),),
+                    multi_view=True,
+                    n_actions=ds.n_actions,
+                    n_reward_classes=ds.n_reward_classes,
+                    data_folder=ds.data_folder,
+                    compute_dtype="bfloat16", seed=seed,
+                    device_cache="hybrid", hybrid_rotation=rotate,
+                    log_folder=log)
+    learner = SRL4robotics(cfg, log_folder=log)
+    learner.learn(ds)
+    hot_n = learner._cache_hot_n
+    states = learner.predict_states(ds)
+    knn, _, _ = knn_mse(states, ds.ground_truth_states, k=5)
+    gtc, _ = ground_truth_correlation(states, ds.ground_truth_states)
+    return {"mode": mode, "seed": seed, "hot_n": hot_n,
+            "f_hot": round(hot_n / ds.n_samples, 3) if hot_n else None,
+            "knn_mse": float(knn), "gtc": float(gtc)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, nargs="+", default=[1, 2])
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--workdir", default=None)
+    args = ap.parse_args()
+
+    workdir = args.workdir or tempfile.mkdtemp(prefix="rot_ab_")
+    data = os.path.join(workdir, "synth_mv")
+    if not os.path.exists(os.path.join(data, "preprocessed_data.npz")):
+        generate_dataset(data, n_episodes=40, episode_len=100, img_size=224,
+                         seed=0, multi_view=True)
+    ds = load_dataset(data)
+
+    rows = []
+    for seed in args.seeds:
+        for rotate in (True, False):
+            r = run_one(ds, rotate, seed, workdir, args.epochs)
+            rows.append(r)
+            print(json.dumps(r), flush=True)
+
+    print("\n| mode | KNN-MSE (mean±std) | GTC (mean±std) |")
+    print("|---|---|---|")
+    summary = {}
+    for mode in ("rotating", "static"):
+        sub = [r for r in rows if r["mode"] == mode]
+        agg = {k: (float(np.mean([r[k] for r in sub])),
+                   float(np.std([r[k] for r in sub])))
+               for k in ("knn_mse", "gtc")}
+        summary[mode] = agg
+        print(f"| {mode} | {agg['knn_mse'][0]:.5f}±{agg['knn_mse'][1]:.5f} "
+              f"| {agg['gtc'][0]:.3f}±{agg['gtc'][1]:.3f} |")
+    print(json.dumps({"summary": summary, "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()

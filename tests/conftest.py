@@ -47,3 +47,19 @@ def synthetic_dataset_mv(tmp_path_factory):
 @pytest.fixture()
 def rng():
     return np.random.RandomState(0)
+
+
+@pytest.fixture(scope="session")
+def trained_ae_cli_run(synthetic_dataset, tmp_path_factory):
+    """One 1-epoch autoencoder run through the REAL train.py CLI, with every
+    run artifact (srl_model.msgpack, exp_config.json, states_rewards.npz,
+    loss_history.npz). Shared by READ-ONLY consumers (inference/eval/
+    plotting CLIs) to keep the fast lane under budget — a test that writes
+    into the run folder or resumes it must train its own."""
+    import train as train_cli
+    ds = synthetic_dataset
+    log = str(tmp_path_factory.mktemp("shared") / "ae_cli_run")
+    train_cli.main(["--data-folder", ds.data_folder, "--losses",
+                    "autoencoder", "--epochs", "1", "--state-dim", "4",
+                    "-bs", "16", "--log-folder", log, "--no-display-plots"])
+    return log

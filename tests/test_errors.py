@@ -41,18 +41,10 @@ def test_device_cache_on_requires_frames(synthetic_dataset, tmp_path):
         learner.learn(ds)
 
 
-def test_state_encoder_rejects_wrong_geometry(synthetic_dataset, tmp_path):
+def test_state_encoder_rejects_wrong_geometry(trained_ae_cli_run):
     from srl_zoo_tpu.inference import StateEncoder
-    from srl_zoo_tpu.training.learner import SRL4robotics
 
-    ds = synthetic_dataset
-    cfg = SRLConfig(state_dim=2, img_height=32, img_width=32, batch_size=8,
-                    epochs=1, losses=(("autoencoder", 1.0),),
-                    split_dims=(("autoencoder", -1),),
-                    log_folder=str(tmp_path / "enc"))
-    SRL4robotics(cfg, log_folder=cfg.log_folder).learn(ds)
-    cfg.save(cfg.log_folder)
-    enc = StateEncoder.load(cfg.log_folder)
+    enc = StateEncoder.load(trained_ae_cli_run)
     with pytest.raises(ValueError, match="expected uint8 observations"):
         enc.encode(np.zeros((64, 64, 3), np.uint8))
 

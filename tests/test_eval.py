@@ -68,21 +68,16 @@ def test_reward_probe_separable(rng):
     assert acc > 0.9
 
 
-def test_latent_sweep_grid(synthetic_dataset, tmp_path):
+def test_latent_sweep_grid(synthetic_dataset, trained_ae_cli_run):
     """Latent sweeps decode to the image geometry, one batched call."""
     import jax
 
-    from srl_zoo_tpu.config import SRLConfig
     from srl_zoo_tpu.evaluation.enjoy_latent import latent_sweep_grid
     from srl_zoo_tpu.training.learner import SRL4robotics
 
     ds = synthetic_dataset
-    cfg = SRLConfig(state_dim=4, img_height=32, img_width=32, batch_size=16,
-                    epochs=1, losses=(("autoencoder", 1.0),),
-                    split_dims=(("autoencoder", -1),),
-                    log_folder=str(tmp_path / "sweep"))
-    learner = SRL4robotics(cfg, log_folder=cfg.log_folder)
-    learner.learn(ds)
+    learner = SRL4robotics.load(trained_ae_cli_run)
+    cfg = learner.cfg
     states = learner.predict_states(ds)
     variables = {"params": jax.device_get(learner.state.params),
                  "batch_stats": jax.device_get(learner.state.batch_stats)}
@@ -121,17 +116,12 @@ def test_knn_mse_tiny_dataset_clamps_k():
     assert np.isfinite(score) and nn.shape == (4, 3)
 
 
-def test_enjoy_latent_cli_single_step(synthetic_dataset, tmp_path):
+def test_enjoy_latent_cli_single_step(trained_ae_cli_run):
     """--n-steps 1 used to crash: np.atleast_2d TRANSPOSES the squeezed
     (n_dims,) axes array to (1, n_dims) and axes[d, s] walks off axis 0."""
-    import train as train_cli
     from srl_zoo_tpu.evaluation.enjoy_latent import main as enjoy_main
 
-    ds = synthetic_dataset
-    log = str(tmp_path / "enjoy_run")
-    train_cli.main(["--data-folder", ds.data_folder, "--losses",
-                    "autoencoder", "--epochs", "1", "--state-dim", "4",
-                    "-bs", "16", "--log-folder", log, "--no-display-plots"])
+    log = trained_ae_cli_run
     out = enjoy_main(["--log-folder", log, "--n-dims", "3", "--n-steps", "1"])
     assert os.path.exists(out)
     # and the normal multi-step grid still renders

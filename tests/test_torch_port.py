@@ -129,8 +129,14 @@ def test_pretrained_weights_cli_flow(synthetic_dataset, tmp_path):
         jax.device_get(learner.state.params["encoder"]["Conv_0"]["kernel"]))
     expected = sd["conv1.weight"].transpose(2, 3, 1, 0)
     np.testing.assert_allclose(ported, expected, rtol=1e-6)
-    metrics = learner.learn(ds)
-    assert np.isfinite(metrics["total"])
+    # the ported weights drive a working forward path (predict_states);
+    # TRAINING with pretrained resnet weights is covered end to end by
+    # test_pretrained_weights_through_train_cli below — repeating the
+    # resnet backward compile here cost ~35 s of fast-lane time for no
+    # added coverage
+    states = learner.predict_states(ds, indices=np.arange(16))
+    assert states.shape == (16, cfg.state_dim)
+    assert np.all(np.isfinite(states))
 
 
 def test_pretrained_weights_through_train_cli(tmp_path, monkeypatch):
