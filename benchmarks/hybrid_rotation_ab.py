@@ -34,9 +34,11 @@ from srl_zoo_tpu.utils.platform import honor_env_platform  # noqa: E402
 
 honor_env_platform()
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
 from srl_zoo_tpu.config import SRLConfig  # noqa: E402
+from srl_zoo_tpu.parallel.mesh import replicated_sharding  # noqa: E402
 from srl_zoo_tpu.data.schema import load_dataset  # noqa: E402
 from srl_zoo_tpu.data.synthetic import generate_dataset  # noqa: E402
 from srl_zoo_tpu.evaluation.gtc import ground_truth_correlation  # noqa: E402
@@ -61,6 +63,17 @@ def run_one(ds, rotate: bool, seed: int, workdir: str, epochs: int) -> dict:
     learner = SRL4robotics(cfg, log_folder=log)
     learner.learn(ds)
     hot_n = learner._cache_hot_n
+    # evaluate the FINAL epoch's params (resume checkpoint), NOT best-val:
+    # triplet val loss bottoms at epoch 1 (the early-BN artifact RESULTS.md
+    # documents), and epoch 1's window is the initial prefix in BOTH modes —
+    # a best-val export would compare two identical epoch-1 snapshots and
+    # measure nothing (the first cut of this A/B did exactly that).
+    from srl_zoo_tpu.training import checkpoint as ckpt
+    final = ckpt.restore_train_state(log, jax.device_get(learner.state))
+    learner.state = jax.device_put(
+        learner.state.replace(params=final.params,
+                              batch_stats=final.batch_stats),
+        replicated_sharding(learner.mesh))
     states = learner.predict_states(ds)
     knn, _, _ = knn_mse(states, ds.ground_truth_states, k=5)
     gtc, _ = ground_truth_correlation(states, ds.ground_truth_states)
