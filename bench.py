@@ -92,20 +92,23 @@ def _make_setup(batch_size: int, img: int, state_dim: int,
 
 def bench_hybrid(batch_size: int, img: int, state_dim: int,
                  compute_dtype: str, steps: int = 12, hot_frac: float = 0.5,
-                 losses: str = "autoencoder"):
+                 losses: str = "autoencoder", reps: int = 2):
     """Hybrid mode (over-HBM-budget datasets): hot_frac of the epoch's steps
     run from the HBM cache (whole-epoch lax.scan), the cold remainder streams
     uint8 batches. This is the link-bandwidth lower bound for datasets that
     don't fit: each cold sample crosses the host link exactly once per epoch.
 
-    Returns (combined, hot, cold) img/s: the two phases are timed separately
-    (the cold phase depends on the scan's donated state either way, so the
-    mid-epoch fence only adds one RTT) because they live in different
-    regimes — hot is chip-bound (hard-gateable like cached_* rows), cold is
-    link-bound (gateable per link-MB/s like streaming_* rows). Gating the
-    parts closes the blind spot where a combined-only hybrid row moved 20%
-    with nothing able to say whether that was the link or a regression
-    (VERDICT r3 weak #4 / next #5)."""
+    Returns (combined, hot, cold, cold_link_mbps) img/s: the two phases are
+    timed separately (the cold phase depends on the scan's donated state
+    either way, so the mid-epoch fence only adds one RTT) because they live
+    in different regimes — hot is chip-bound (hard-gateable like cached_*
+    rows), cold is link-bound (gateable per link-MB/s like streaming_*
+    rows). Gating the parts closes the blind spot where a combined-only
+    hybrid row moved 20% with nothing able to say whether that was the link
+    or a regression (VERDICT r3 weak #4 / next #5). Like bench_streaming,
+    ``reps`` bracketed epochs are run and the best link-normalized-cold rep
+    is reported (hot takes the max), so minute-scale link drift does not
+    read as a code regression."""
     import jax
 
     from srl_zoo_tpu.parallel.mesh import shard_stacked_batch
@@ -136,10 +139,17 @@ def bench_hybrid(batch_size: int, img: int, state_dim: int,
         return t_hot, t_cold
 
     run_epoch()  # compile + warm both programs
-    t_hot, t_cold = run_epoch()
-    return (batch_size * (k_hot + k_cold) / (t_hot + t_cold),
-            batch_size * k_hot / t_hot,
-            batch_size * k_cold / t_cold)
+    probes = [measure_link_mbps(repeats=1)[0]]
+    hots, colds, combos = [], [], []
+    for _ in range(reps):
+        t_hot, t_cold = run_epoch()
+        hots.append(batch_size * k_hot / t_hot)
+        colds.append(batch_size * k_cold / t_cold)
+        combos.append(batch_size * (k_hot + k_cold) / (t_hot + t_cold))
+        probes.append(measure_link_mbps(repeats=1)[0])
+    links = [(probes[i] + probes[i + 1]) / 2.0 for i in range(reps)]
+    best = max(range(reps), key=lambda i: colds[i] / max(links[i], 1e-9))
+    return combos[best], max(hots), colds[best], links[best]
 
 
 def bench_train_step(batch_size: int, img: int, state_dim: int,
@@ -206,6 +216,55 @@ def bench_train_step(batch_size: int, img: int, state_dim: int,
     return batch_size * steps / dt
 
 
+def bench_streaming(batch_size: int, img: int, state_dim: int,
+                    compute_dtype: str, losses: str = "autoencoder",
+                    overlap: bool = False, steps: int = 12,
+                    reps: int = 3):
+    """(img/s, link MB/s) of the streaming train path, drift-robust.
+
+    The tunnel link drifts 19-41 MB/s minute-to-minute AND within a row
+    (consecutive identical reps measured 282 -> 217 -> 104 img/s,
+    2026-08-19), so a single timed window normalized by a single probe has
+    ±2-3x noise. This compiles once, then times ``reps`` short windows each
+    BRACKETED by its own link probes (a window's post-probe is the next
+    window's pre-probe), and returns the window with the best
+    rate-per-link-MB/s together with its bracketed link — the statistic a
+    one-sided noise source (the link only ever gets sicker, never faster
+    than the code allows) cannot bias downward."""
+    import jax
+
+    train_step, _, state, cache, host_batches, _ = _make_setup(
+        batch_size, img, state_dim, compute_dtype, False, losses=losses)
+    rng = jax.random.PRNGKey(1)
+
+    def run(n):
+        nonlocal state
+        metrics = None
+        if overlap:
+            nxt = jax.device_put(host_batches[0])
+            for i in range(n):
+                cur = nxt
+                nxt = jax.device_put(host_batches[(i + 1) % 4])
+                state, metrics = train_step(state, cur, rng, cache)
+        else:
+            for i in range(n):
+                batch = jax.device_put(host_batches[i % 4])
+                state, metrics = train_step(state, batch, rng, cache)
+        return float(jax.device_get(metrics["total"]))
+
+    run(2)  # compile + warm
+    probes = [measure_link_mbps(repeats=1)[0]]
+    rates = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run(steps)
+        rates.append(batch_size * steps / (time.perf_counter() - t0))
+        probes.append(measure_link_mbps(repeats=1)[0])
+    links = [(probes[i] + probes[i + 1]) / 2.0 for i in range(reps)]
+    best = max(range(reps), key=lambda i: rates[i] / max(links[i], 1e-9))
+    return rates[best], links[best]
+
+
 def measure_link_mbps(n_bytes: int = 32 * 2**20, repeats: int = 3):
     """Host->device link bandwidth (MB/s): one timed device_put of a pinned
     uint8 buffer, fenced by fetching a device-computed slice (device_get, per
@@ -235,23 +294,81 @@ def measure_link_mbps(n_bytes: int = 32 * 2**20, repeats: int = 3):
     return float(np.median(rates)), float(np.max(rates))
 
 
-def bench_knn_topk(n: int = 20000, d: int = 200, k: int = 6,
-                   reps: int = 5) -> float:
-    """Queries/s of the production knn_topk path (all-points query, the
-    KNN-MSE shape). Chip-bound, so it sits with the cached_* gated rows."""
+# ~10x the healthy ~24 ms median dispatch RTT measured through this host's
+# tunnel (2026-08-19, 30-sample probe); a PCIe host sits well under 1 ms, so
+# the threshold only ever fires on a genuinely sick transport
+RTT_DEGRADED_MS = 250.0
+
+
+def measure_rtt_ms(repeats: int = 15) -> float:
+    """Median dispatch round-trip (tiny jitted op fenced by device_get), ms.
+
+    The discriminator bulk bandwidth misses: the 2026-08-19 tunnel flap kept
+    link_mbps normal (~40 MB/s) while dispatch latency blew up ~20x, so the
+    chip-bound cached_* rows measured 944 img/s on a chip that benches 17.5k
+    solo — a parseable, plausible-looking line that would have become a
+    vacuous perf floor for the next round. Recorded as ``rtt_ms`` (worst of
+    a pre-grid and post-grid probe); when it exceeds ``RTT_DEGRADED_MS`` the
+    bench line carries a ``degraded`` field and ci/perf_gate.py refuses to
+    use the line as a floor or gate against it (exit 3, environment outage).
+    """
     import jax
     import jax.numpy as jnp
 
-    from srl_zoo_tpu.ops.knn_topk import knn_topk
+    f = jax.jit(lambda a: a + 1)
+    x = jnp.zeros((), jnp.float32)
+    jax.device_get(f(x))  # warm: compile + any first-touch stall
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.device_get(f(x))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
+def bench_knn_topk(n: int = 20000, d: int = 200, k: int = 6,
+                   chain: int = 10, reps: int = 3) -> float:
+    """Queries/s of the production knn_topk kernel (all-points query, the
+    KNN-MSE shape). Chip-bound and hard-gated like the other cached_* rows.
+
+    Methodology (changed r4): the kernel runs 20k queries in ~8 ms — the
+    original loop of ``reps`` separate dispatches with one fence measured
+    mostly the tunnel's fixed costs (one ~25-30 ms RTT over ~40 ms of
+    kernel), so a 5 ms RTT wobble read as a -26% "chip" regression
+    (2026-08-19). Now ``chain`` kernel invocations run INSIDE one jit via
+    lax.scan — each iteration's queries carry a numerically-negligible but
+    non-elidable dependency on the previous distances, so the chip executes
+    them sequentially with zero host involvement — and the adjacent-measured
+    dispatch RTT is subtracted from the median fenced time."""
+    import jax
+    import jax.numpy as jnp
+
+    from srl_zoo_tpu.ops.knn_topk import knn_topk_with_dist
 
     x = jnp.asarray(np.random.RandomState(0).randn(n, d).astype(np.float32))
-    jax.device_get(knn_topk(x, x, k))  # compile
-    t0 = time.perf_counter()
-    out = None
+
+    @jax.jit
+    def run_chain(x):
+        def body(xq, _):
+            dist, idx = knn_topk_with_dist(xq, x, k)
+            # 1e-30 * sum: ~1e-22 on O(1) coords — cannot change any
+            # neighbor, but XLA cannot prove it zero, so no iteration is
+            # DCE'd or reordered off the sequential chain
+            return xq + dist.sum() * 1e-30, idx[0, 0]
+        _, outs = jax.lax.scan(body, x, None, length=chain)
+        return outs
+
+    jax.device_get(run_chain(x))  # compile
+    ts = []
     for _ in range(reps):
-        out = knn_topk(x, x, k)
-    jax.device_get(out)  # one fence for the async chain
-    return n * reps / (time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.device_get(run_chain(x))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    t_med = ts[len(ts) // 2]
+    rtt_s = measure_rtt_ms(repeats=7) / 1e3  # the fixed cost of the fence
+    return n * chain / max(t_med - rtt_s, 1e-9)
 
 
 def _bail_with_error_line(error: str):
@@ -339,29 +456,53 @@ def main(argv=None):
         link_mbps, link_mbps_max = 0.0, 0.0
         results["link_error"] = str(e)[:200]
 
+    try:
+        rtt_ms = run_bounded(measure_rtt_ms, timeout_s=240,
+                             what="dispatch-rtt measurement")
+    except BackendInitTimeout as e:
+        _bail_mid_run("dispatch-rtt measurement", e)
+    except Exception as e:
+        rtt_ms = 0.0
+        results["rtt_error"] = str(e)[:200]
+
     for name, (bs, dtype, cached, losses) in grid.items():
+        # link-bound rows (streaming_*, hybrid cold phase) carry their OWN
+        # drift-robust link estimate as <row>_link_mbps (see bench_streaming:
+        # the tunnel drifts 19-41 MB/s minute-to-minute, so normalizing by
+        # the start-of-run link_mbps misattributed a healthy row as -63%,
+        # 2026-08-19); ci/perf_gate.py normalizes those rows by it.
         try:
             if cached == "hybrid":
                 # over-budget dataset scenario: half cached, half streamed;
                 # the phases are recorded as separately GATEABLE rows (hot ->
                 # cached_* rule, cold -> streaming_* link-normalized rule)
                 def fn(bs=bs, dtype=dtype, losses=losses, name=name):
-                    combined, hot, cold = bench_hybrid(
+                    combined, hot, cold, cold_link = bench_hybrid(
                         bs, img, sd, dtype, steps=12, hot_frac=0.5,
                         losses=losses)
+                    cold_name = name.replace("hybrid_", "hybrid_cold_")
                     results[name.replace("hybrid_", "hybrid_hot_")] = hot
-                    results[name.replace("hybrid_", "hybrid_cold_")] = cold
+                    results[cold_name] = cold
+                    results[cold_name + "_link_mbps"] = cold_link
                     results["hybrid_f_hot"] = 0.5
                     return combined
             elif cached == "overlap":
-                fn = lambda: bench_train_step(bs, img, sd, dtype, False,
-                                              steps=steps, warmup=2,
-                                              losses=losses, overlap=True)
+                def fn(bs=bs, dtype=dtype, losses=losses, name=name):
+                    rate, link = bench_streaming(bs, img, sd, dtype,
+                                                 losses=losses, overlap=True)
+                    results[name + "_link_mbps"] = link
+                    return rate
             elif cached == "resnet":
                 fn = lambda: bench_train_step(bs, img, sd, dtype, True,
                                               steps=steps, warmup=2,
                                               losses=losses,
                                               model_type="resnet")
+            elif cached is False:
+                def fn(bs=bs, dtype=dtype, losses=losses, name=name):
+                    rate, link = bench_streaming(bs, img, sd, dtype,
+                                                 losses=losses)
+                    results[name + "_link_mbps"] = link
+                    return rate
             else:
                 fn = lambda: bench_train_step(bs, img, sd, dtype, cached,
                                               steps=steps, warmup=2,
@@ -386,11 +527,23 @@ def main(argv=None):
         results["cached_knn20k_qps"] = 0.0
         results["cached_knn20k_qps_error"] = str(e)[:200]
 
+    # re-probe RTT after the grid: a flap that starts MID-RUN (the observed
+    # mode — the 07:24 line was healthy at probe time, sick by row 1) must
+    # still mark the line; worst-of-both is what the gate trusts
+    try:
+        rtt_post = run_bounded(measure_rtt_ms, timeout_s=240,
+                               what="dispatch-rtt re-measurement")
+        rtt_ms = max(rtt_ms, rtt_post)
+    except BackendInitTimeout as e:
+        _bail_mid_run("dispatch-rtt re-measurement", e)
+    except Exception as e:
+        results["rtt_error"] = str(e)[:200]
+
     headline = results.get("cached_b512_bf16",
                            results.get("cached_smoke", 0.0))
     if headline == 0.0:  # cache path failed; fall back to streaming
         headline = results.get("streaming_b128_bf16", 0.0)
-    print(json.dumps({
+    line = {
         "metric": "images/sec/chip",
         "value": round(headline, 2),
         "unit": "images/sec/chip",
@@ -401,8 +554,16 @@ def main(argv=None):
         "device": str(device),
         "link_mbps": round(link_mbps, 1),
         "link_mbps_max": round(link_mbps_max, 1),
+        # 3 decimals: in-process CPU dispatch is ~0.03 ms and must not
+        # round to a 0.0 that reads as "probe failed"
+        "rtt_ms": round(rtt_ms, 3),
         "baseline_ips_torch_cpu": TORCH_CPU_BASELINE_IPS,
-    }))
+    }
+    if rtt_ms > RTT_DEGRADED_MS:
+        line["degraded"] = (
+            f"dispatch rtt {rtt_ms:.0f} ms (healthy ~24 ms on this host): "
+            "transport degraded — chip-bound rows are not chip measurements")
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

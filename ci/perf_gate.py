@@ -56,6 +56,14 @@ def latest_baseline():
                   f"{inner.get('error', '')!r:.80} — an environment "
                   "outage, not a perf floor)")
             continue
+        if inner.get("degraded"):
+            # parseable but transport-degraded (bench.py's RTT probe): the
+            # 2026-08-19 flap produced a plausible-looking 944 img/s line —
+            # 18x under the chip's real rate — that must never become the
+            # floor every later regression vacuously clears
+            print(f"perf_gate: skipping {os.path.basename(path)} as "
+                  f"baseline (degraded: {str(inner['degraded'])[:100]})")
+            continue
         return path, doc
     return None
 
@@ -89,9 +97,13 @@ def gate_details(base_doc: dict, cur_doc: dict, band: float) -> list:
       * cached_* and hybrid_hot_* rows are chip-bound and stable: hard-gated
         at ``band``.
       * streaming_* and hybrid_cold_* rows are host-link-bound: gated on
-        img/s per link-MB/s (both docs must carry ``link_mbps``; legacy
-        baselines without it are report-only) with a wider 1.5x band for
-        residual link nonlinearity.
+        img/s per link-MB/s with a wider 1.5x band for residual link
+        nonlinearity. The link divisor is the row's own bracketed
+        ``<row>_link_mbps`` when present (the tunnel drifts 19-41 MB/s
+        minute-to-minute, so the start-of-run ``link_mbps`` misattributes
+        rows measured later — observed 2026-08-19: a healthy run read 3.1
+        vs 8.3 img/s per stale link-MB/s), falling back to the doc-level
+        ``link_mbps``; docs carrying neither are report-only.
       * the combined hybrid_* rows mix both regimes: report-only (fully
         explained by their gated hot/cold parts since r4 — VERDICT r3 #5).
 
@@ -108,8 +120,8 @@ def gate_details(base_doc: dict, cur_doc: dict, band: float) -> list:
 
     rows = []
     for name in sorted(b_det):
-        if name.endswith("_error"):
-            continue
+        if name.endswith(("_error", "_link_mbps")):
+            continue  # metadata for another row, not a rate
         if name not in c_det:
             # a renamed/dropped row must not silently lose gate coverage:
             # hard-gated families fail (when the current run reports details
@@ -127,12 +139,15 @@ def gate_details(base_doc: dict, cur_doc: dict, band: float) -> list:
             bad = c_v < floor
             rows.append((name, f"{c_v:.1f} vs {b_v:.1f} "
                          f"(floor {floor:.1f})", bad))
-        elif is_link_row(name) and b_link and c_link:
-            b_eff, c_eff = b_v / b_link, c_v / c_link
+        elif is_link_row(name) and (b_det.get(name + "_link_mbps") or b_link) \
+                and (c_det.get(name + "_link_mbps") or c_link):
+            b_l = float(b_det.get(name + "_link_mbps") or b_link)
+            c_l = float(c_det.get(name + "_link_mbps") or c_link)
+            b_eff, c_eff = b_v / b_l, c_v / c_l
             floor = b_eff * (1.0 - 1.5 * band)
             bad = c_eff < floor
             rows.append((name, f"{c_eff:.2f} vs {b_eff:.2f} img/s per "
-                         f"link-MB/s (links {c_link:.0f}/{b_link:.0f}, "
+                         f"link-MB/s (links {c_l:.0f}/{b_l:.0f}, "
                          f"floor {floor:.2f})", bad))
         else:
             rows.append((name, f"{c_v:.1f} vs {b_v:.1f} (report-only)",
@@ -201,9 +216,31 @@ def main(argv=None) -> int:
                               os.path.join(REPO, "bench.py")],
                              capture_output=True, text=True, timeout=1200)
         if out.returncode != 0:
-            print(f"perf_gate: bench.py failed:\n{out.stderr[-2000:]}")
+            # bench.py's backend watchdog reports outages as an error JSON
+            # line on STDOUT + exit 1 (the 2026-08-19 tunnel flap produced
+            # exactly this; stderr carries only the axon warning). An
+            # environment stall is exit 3 — BLOCKED, same as our own probe
+            # timing out — never 1: it is not a perf regression.
+            try:
+                err_doc = json.loads(out.stdout.strip().splitlines()[-1])
+            except (json.JSONDecodeError, IndexError):
+                err_doc = {}
+            if "error" in err_doc:
+                print(f"perf_gate: BLOCKED — bench.py watchdog: "
+                      f"{err_doc['error']}")
+                return 3
+            print(f"perf_gate: bench.py failed (rc={out.returncode}):\n"
+                  f"--- stdout tail ---\n{out.stdout[-2000:]}\n"
+                  f"--- stderr tail ---\n{out.stderr[-2000:]}")
             return 1
         cur_doc = json.loads(out.stdout.strip().splitlines()[-1])
+    cur_inner = extract_doc(cur_doc)
+    if cur_inner.get("degraded"):
+        # same semantics as our own probe timing out: the numbers exist but
+        # measure the transport, not the framework — exit 3, never 1
+        print(f"perf_gate: BLOCKED — bench line marked degraded: "
+              f"{str(cur_inner['degraded'])[:160]}")
+        return 3
     cur_val = extract_value(cur_doc)
 
     floor = base_val * (1.0 - args.band)

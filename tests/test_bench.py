@@ -19,6 +19,8 @@ def test_bench_smoke_json_contract(capsys):
     assert not any(k.endswith("_error") for k in rec["detail"])
     assert rec["link_mbps"] > 0  # host-link bandwidth recorded (VERDICT r2)
     assert rec["link_mbps_max"] >= rec["link_mbps"]
+    assert rec["rtt_ms"] > 0  # dispatch-latency probe recorded (r4 flap)
+    assert "degraded" not in rec  # CPU in-process dispatch is never sick
 
 
 def test_bench_backend_watchdog(tmp_path):
@@ -185,6 +187,51 @@ def test_perf_gate_detail_rows():
     assert "report-only" in row[0] and row[1] is False
 
 
+def test_perf_gate_per_row_link_normalization():
+    """The tunnel link drifts 19-41 MB/s minute-to-minute (measured
+    2026-08-19), so link rows normalize by their own bracketed
+    <row>_link_mbps when present — a start-of-run link_mbps misattributed a
+    healthy streaming row as a -63% regression. The metadata rows themselves
+    are never gated as rates."""
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "ci"))
+    try:
+        import perf_gate
+    finally:
+        sys.path.pop(0)
+
+    base = {"value": 17000.0, "link_mbps": 40.0,
+            "detail": {"streaming_b": 320.0, "streaming_b_link_mbps": 40.0}}
+
+    def rows_of(cur):
+        return {n: (d, bad) for n, d, bad in
+                perf_gate.gate_details(base, cur, 0.15)}
+
+    # the _link_mbps metadata row is not itself a gated rate
+    rows = rows_of(dict(base))
+    assert "streaming_b_link_mbps" not in rows
+    assert rows["streaming_b"][1] is False
+
+    # row halved BECAUSE its own bracketed link halved, while the stale
+    # doc-level probe still says 40: per-row link -> OK (the observed case)
+    cur = {"value": 17000.0, "link_mbps": 40.0,
+           "detail": {"streaming_b": 160.0, "streaming_b_link_mbps": 20.0}}
+    assert rows_of(cur)["streaming_b"][1] is False
+
+    # row halved at the SAME per-row link: a real regression, even though a
+    # halved doc-level probe would have excused it
+    cur = {"value": 17000.0, "link_mbps": 20.0,
+           "detail": {"streaming_b": 160.0, "streaming_b_link_mbps": 40.0}}
+    assert rows_of(cur)["streaming_b"][1] is True
+
+    # per-row link on one side only: falls back to that side's doc link
+    cur = {"value": 17000.0, "link_mbps": 20.0,
+           "detail": {"streaming_b": 160.0}}
+    assert rows_of(cur)["streaming_b"][1] is False
+
+
 def test_perf_gate_missing_row_is_visible():
     """A renamed/dropped bench row must not silently lose gate coverage:
     missing cached_* rows fail, missing streaming_* rows still print."""
@@ -286,3 +333,100 @@ def test_perf_gate_skips_outage_baselines(tmp_path, monkeypatch):
     # nothing usable at all -> None
     (tmp_path / "BENCH_r01.json").write_text(json.dumps({"value": 0.0}))
     assert perf_gate.latest_baseline() is None
+
+
+def test_perf_gate_degraded_lines(tmp_path, monkeypatch, capsys):
+    """The 2026-08-19 tunnel flap mode: bench.py's RTT probe marks a
+    parseable-but-transport-sick line ``degraded`` (944 img/s on a chip that
+    benches 17.5k). Such a line must (a) never become the baseline floor and
+    (b) BLOCK the gate (exit 3 — environment outage), never fail it (1) or
+    pass it (0)."""
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "ci"))
+    try:
+        import perf_gate
+    finally:
+        sys.path.pop(0)
+
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps(
+        {"value": 17000.0, "link_mbps": 40.0,
+         "detail": {"cached_a": 17000.0}}))
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps(
+        {"value": 944.0, "rtt_ms": 487.0,
+         "degraded": "dispatch rtt 487 ms (healthy ~24 ms on this host)"}))
+    monkeypatch.setattr(perf_gate, "REPO", str(tmp_path))
+
+    # (a) the degraded r02 is skipped; the healthy r01 is the floor
+    path, doc = perf_gate.latest_baseline()
+    assert path.endswith("BENCH_r01.json")
+    assert perf_gate.extract_value(doc) == 17000.0
+
+    # (b) a degraded CURRENT line blocks (3), even though its headline would
+    # otherwise be a catastrophic "regression" (1)
+    cur = tmp_path / "cur.json"
+    cur.write_text(json.dumps(
+        {"value": 944.0, "degraded": "dispatch rtt 487 ms"}))
+    rc = perf_gate.main(["--current", str(cur)])
+    out = capsys.readouterr().out
+    assert rc == 3
+    assert "BLOCKED" in out and "degraded" in out
+
+    # a healthy current line still gates normally against the healthy floor
+    cur.write_text(json.dumps({"value": 16900.0, "link_mbps": 40.0,
+                               "detail": {"cached_a": 16900.0}}))
+    assert perf_gate.main(["--current", str(cur)]) == 0
+    cur.write_text(json.dumps({"value": 9000.0, "link_mbps": 40.0,
+                               "detail": {"cached_a": 9000.0}}))
+    assert perf_gate.main(["--current", str(cur)]) == 1
+
+
+def test_perf_gate_reclassifies_bench_watchdog_exit(tmp_path, monkeypatch,
+                                                    capsys):
+    """bench.py's backend watchdog exits 1 with an error JSON line on stdout
+    (observed 2026-08-19). The gate must reclassify that as BLOCKED (3) — an
+    environment stall is not a perf regression — while a genuine bench crash
+    (no parseable error line) stays a hard failure (1)."""
+    import sys
+    import types
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "ci"))
+    try:
+        import perf_gate
+    finally:
+        sys.path.pop(0)
+
+    import srl_zoo_tpu.utils.platform as plat
+
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps({"value": 17000.0}))
+    monkeypatch.setattr(perf_gate, "REPO", str(tmp_path))
+    monkeypatch.setattr(plat, "probe_backend",
+                        lambda timeout_s=240.0:
+                        [types.SimpleNamespace(platform="tpu")])
+    monkeypatch.setattr(plat, "honor_env_platform", lambda: None)
+
+    def fake_bench(stdout, rc):
+        return lambda *a, **k: types.SimpleNamespace(
+            returncode=rc, stdout=stdout, stderr="axon tunnel warning\n")
+
+    # watchdog error line -> BLOCKED (3)
+    err_line = json.dumps({"metric": "images/sec/chip", "value": 0.0,
+                           "error": "device enumeration timed out after "
+                                    "240s (wedged tunnel?)"})
+    monkeypatch.setattr(perf_gate.subprocess, "run",
+                        fake_bench(err_line + "\n", 1))
+    rc = perf_gate.main([])
+    out = capsys.readouterr().out
+    assert rc == 3
+    assert "BLOCKED" in out and "watchdog" in out
+
+    # a crash with no parseable error line stays a hard failure (1)
+    monkeypatch.setattr(perf_gate.subprocess, "run",
+                        fake_bench("Traceback (most recent call last): ...\n",
+                                   1))
+    rc = perf_gate.main([])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "stdout tail" in out
