@@ -103,14 +103,28 @@ def gate_details(base_doc: dict, cur_doc: dict, band: float) -> list:
         minute-to-minute, so the start-of-run ``link_mbps`` misattributes
         rows measured later — observed 2026-08-19: a healthy run read 3.1
         vs 8.3 img/s per stale link-MB/s), falling back to the doc-level
-        ``link_mbps``; docs carrying neither are report-only.
+        ``link_mbps``; docs carrying neither are report-only. When the two
+        sides' divisors come from DIFFERENT sources (one bracketed per-row,
+        one start-of-run doc probe — differently-defined estimators), the
+        verdict says so (ADVICE r4).
       * the combined hybrid_* rows mix both regimes: report-only (fully
         explained by their gated hot/cold parts since r4 — VERDICT r3 #5).
+      * rows whose ``methodology`` version differs between the two docs
+        measure different things: skipped with a message, never pass/fail
+        (VERDICT r4 weak #6 — the knn-qps v1->v2 RTT-subtraction change
+        moved the row 2.5x with zero perf change). Absent entries are
+        treated as "unknown, gate normally": pre-r5 BENCH docs carry no
+        field but WERE measured at the versions bench.py now declares.
+      * rows carrying a ``<row>_note`` on either side were measured under
+        an anomalous transport (e.g. knn RTT subtraction refused):
+        report-only.
 
     Returns a list of (row, verdict_str, failed: bool)."""
     base, cur = extract_doc(base_doc), extract_doc(cur_doc)
     b_det, c_det = base.get("detail", {}), cur.get("detail", {})
     b_link, c_link = base.get("link_mbps"), cur.get("link_mbps")
+    b_meth = base.get("methodology", {}) or {}
+    c_meth = cur.get("methodology", {}) or {}
 
     def is_chip_row(name):
         return name.startswith(("cached_", "hybrid_hot_"))
@@ -118,10 +132,32 @@ def gate_details(base_doc: dict, cur_doc: dict, band: float) -> list:
     def is_link_row(name):
         return name.startswith(("streaming_", "hybrid_cold_"))
 
+    def row_link(det, doc_link, name):
+        """(divisor, source) for a link-bound row — explicit None/zero
+        handling so a recorded-but-zero per-row link (a failed bracket
+        probe) falls back VISIBLY rather than by truthiness (ADVICE r4)."""
+        v = det.get(name + "_link_mbps")
+        if v is not None and float(v) > 0:
+            return float(v), "row"
+        if doc_link is not None and float(doc_link) > 0:
+            return float(doc_link), "doc"
+        return None, None
+
     rows = []
     for name in sorted(b_det):
-        if name.endswith(("_error", "_link_mbps")):
+        if name.endswith(("_error", "_link_mbps", "_note")):
             continue  # metadata for another row, not a rate
+        bm, cm = b_meth.get(name), c_meth.get(name)
+        if bm is not None and cm is not None and bm != cm:
+            rows.append((name, f"skipped (methodology v{bm} -> v{cm}: "
+                               "the two runs measure different things)",
+                         False))
+            continue
+        note = c_det.get(name + "_note") or b_det.get(name + "_note")
+        if note:
+            rows.append((name, f"report-only (measurement note: "
+                               f"{str(note)[:120]})", False))
+            continue
         if name not in c_det:
             # a renamed/dropped row must not silently lose gate coverage:
             # hard-gated families fail (when the current run reports details
@@ -139,16 +175,19 @@ def gate_details(base_doc: dict, cur_doc: dict, band: float) -> list:
             bad = c_v < floor
             rows.append((name, f"{c_v:.1f} vs {b_v:.1f} "
                          f"(floor {floor:.1f})", bad))
-        elif is_link_row(name) and (b_det.get(name + "_link_mbps") or b_link) \
-                and (c_det.get(name + "_link_mbps") or c_link):
-            b_l = float(b_det.get(name + "_link_mbps") or b_link)
-            c_l = float(c_det.get(name + "_link_mbps") or c_link)
+        elif is_link_row(name) and row_link(b_det, b_link, name)[0] \
+                and row_link(c_det, c_link, name)[0]:
+            b_l, b_src = row_link(b_det, b_link, name)
+            c_l, c_src = row_link(c_det, c_link, name)
             b_eff, c_eff = b_v / b_l, c_v / c_l
             floor = b_eff * (1.0 - 1.5 * band)
             bad = c_eff < floor
+            mixed = "" if b_src == c_src else (
+                f"; CAUTION link divisors from different estimators "
+                f"(cur={c_src}-level, base={b_src}-level)")
             rows.append((name, f"{c_eff:.2f} vs {b_eff:.2f} img/s per "
                          f"link-MB/s (links {c_l:.0f}/{b_l:.0f}, "
-                         f"floor {floor:.2f})", bad))
+                         f"floor {floor:.2f}){mixed}", bad))
         else:
             rows.append((name, f"{c_v:.1f} vs {b_v:.1f} (report-only)",
                          False))

@@ -92,6 +92,62 @@ def generate_dataset(
         frames_2 = open_memmap(f2path + ".tmp", mode="w+", dtype=np.uint8,
                                shape=(n_total, img_size, img_size, 3))
 
+    try:
+        _generate_into(frames, frames_2, rng, moves, target, task,
+                       n_episodes, episode_len, img_size, multi_view,
+                       actions, rewards, episode_starts, states,
+                       images_path, images_path_2)
+
+        actions = np.asarray(actions, np.int32)
+        rewards = np.asarray(rewards, np.float32)
+        episode_starts = np.asarray(episode_starts, bool)
+        states = np.asarray(states, np.float32)
+
+        # Order matters for crash atomicity (ADVICE r4): the frame memmaps
+        # are renamed into place FIRST, the npz metadata is written LAST —
+        # the npz acts as the completion marker, so an interrupted
+        # generation can never leave fresh metadata pointing at a stale or
+        # missing frames.npy.
+        frames.flush()
+        os.rename(fpath + ".tmp", fpath)
+        if multi_view:
+            frames_2.flush()
+            os.rename(f2path + ".tmp", f2path)
+        np.savez(os.path.join(data_folder, "preprocessed_data.npz"),
+                 actions=actions, rewards=rewards,
+                 episode_starts=episode_starts)
+        np.savez(os.path.join(data_folder, "ground_truth.npz"),
+                 ground_truth_states=states,
+                 images_path=np.asarray(images_path),
+                 **({"images_path_2": np.asarray(images_path_2)}
+                    if multi_view else {}),
+                 target_positions=target[None])
+    finally:
+        # never leave an orphaned multi-GiB .tmp behind on exception
+        for tmp in [fpath + ".tmp"] + ([f2path + ".tmp"] if multi_view
+                                       else []):
+            if os.path.exists(tmp):
+                os.remove(tmp)
+
+    if save_jpgs:
+        import cv2
+        all_paths: Tuple = (zip(images_path, frames),)
+        if multi_view:
+            all_paths = all_paths + (zip(images_path_2, frames_2),)
+        for pairs in all_paths:
+            for rel, frame in pairs:
+                path = os.path.join(data_folder, rel)
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                # cv2 writes BGR; frames are RGB
+                cv2.imwrite(path, frame[:, :, ::-1])
+    return data_folder
+
+
+def _generate_into(frames, frames_2, rng, moves, target, task,
+                   n_episodes, episode_len, img_size, multi_view,
+                   actions, rewards, episode_starts, states,
+                   images_path, images_path_2) -> None:
+    """Roll out the episodes, filling the memmaps + metadata lists."""
     i = 0
     for ep in range(n_episodes):
         pos = rng.uniform(0.1, 0.9, size=2).astype(np.float32)
@@ -119,34 +175,3 @@ def generate_dataset(
                 images_path_2.append(f"record_{ep:03d}/frame{t:06d}_2.jpg")
             pos = new_pos
             i += 1
-
-    actions = np.asarray(actions, np.int32)
-    rewards = np.asarray(rewards, np.float32)
-    episode_starts = np.asarray(episode_starts, bool)
-    states = np.asarray(states, np.float32)
-
-    np.savez(os.path.join(data_folder, "preprocessed_data.npz"),
-             actions=actions, rewards=rewards, episode_starts=episode_starts)
-    np.savez(os.path.join(data_folder, "ground_truth.npz"),
-             ground_truth_states=states,
-             images_path=np.asarray(images_path),
-             **({"images_path_2": np.asarray(images_path_2)} if multi_view else {}),
-             target_positions=target[None])
-    frames.flush()
-    os.rename(fpath + ".tmp", fpath)
-    if multi_view:
-        frames_2.flush()
-        os.rename(f2path + ".tmp", f2path)
-
-    if save_jpgs:
-        import cv2
-        all_paths: Tuple = (zip(images_path, frames),)
-        if multi_view:
-            all_paths = all_paths + (zip(images_path_2, frames_2),)
-        for pairs in all_paths:
-            for rel, frame in pairs:
-                path = os.path.join(data_folder, rel)
-                os.makedirs(os.path.dirname(path), exist_ok=True)
-                # cv2 writes BGR; frames are RGB
-                cv2.imwrite(path, frame[:, :, ::-1])
-    return data_folder

@@ -26,9 +26,20 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def mesh_spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh contains devices owned by MORE than one process.
+    The slicing branches below key on THIS, not on jax.process_count():
+    a process-LOCAL mesh inside a distributed job must get the plain
+    device_put path — keying on the global process count would make each
+    process silently feed the wrong contiguous slice of its own full batch
+    (ADVICE r4)."""
+    procs = {d.process_index for d in mesh.devices.flat}
+    return len(procs) > 1
+
+
 def shard_array(arr: np.ndarray, mesh: Mesh) -> jax.Array:
     """Shard ONE array's leading axis over the mesh (replicate when not
-    divisible). Multi-process meshes contribute each process's contiguous
+    divisible). Process-spanning meshes contribute each process's contiguous
     row slice via make_array_from_process_local_data — the same
     same-seed => same-global-array contract as shard_batch. Used by the
     state-export path (learner.predict_states), where replicating would
@@ -37,7 +48,7 @@ def shard_array(arr: np.ndarray, mesh: Mesh) -> jax.Array:
     if arr.ndim < 1 or arr.shape[0] % n_dev != 0:
         return jax.device_put(arr, replicated_sharding(mesh))
     bs = batch_sharding(mesh)
-    if jax.process_count() > 1:
+    if mesh_spans_processes(mesh):
         pc, pi = jax.process_count(), jax.process_index()
         rows = arr.shape[0] // pc
         return jax.make_array_from_process_local_data(
@@ -49,13 +60,13 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, Any]:
     """device_put the whole batch dict in ONE call (one host->device
     transaction instead of one per array — the per-put latency through a
     remote-tunnel backend is what hurts), leading axes sharded over the mesh,
-    non-batch arrays replicated. On multi-host meshes each process passes its
-    local shard and the global array is assembled across hosts."""
+    non-batch arrays replicated. On process-spanning meshes each process
+    passes its local shard and the global array is assembled across hosts."""
     bs = batch_sharding(mesh)
     rep = replicated_sharding(mesh)
     n_dev = mesh.devices.size
 
-    if jax.process_count() > 1:
+    if mesh_spans_processes(mesh):
         # Multi-host: every process builds the same (seeded) global batch;
         # each contributes only its contiguous row slice. The global array is
         # assembled across hosts without any cross-DCN data movement beyond

@@ -21,6 +21,9 @@ def test_bench_smoke_json_contract(capsys):
     assert rec["link_mbps_max"] >= rec["link_mbps"]
     assert rec["rtt_ms"] > 0  # dispatch-latency probe recorded (r4 flap)
     assert "degraded" not in rec  # CPU in-process dispatch is never sick
+    # per-row methodology versions recorded so a measurement change can
+    # never read as a perf change (VERDICT r4 weak #6)
+    assert rec["methodology"]["cached_knn20k_qps"] == 2
 
 
 def test_bench_backend_watchdog(tmp_path):
@@ -430,3 +433,119 @@ def test_perf_gate_reclassifies_bench_watchdog_exit(tmp_path, monkeypatch,
     out = capsys.readouterr().out
     assert rc == 1
     assert "stdout tail" in out
+
+
+def _import_perf_gate():
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "ci"))
+    try:
+        import perf_gate
+    finally:
+        sys.path.pop(0)
+    return perf_gate
+
+
+def test_perf_gate_methodology_versioning():
+    """A row whose measurement methodology changed between the two docs is
+    SKIPPED with a message, never pass/fail: the knn-qps v1->v2 change moved
+    the recorded row 1.47M -> 3.65M with zero kernel change (VERDICT r4 weak
+    #6). Absent entries (pre-r5 BENCH docs) gate normally."""
+    perf_gate = _import_perf_gate()
+
+    base = {"value": 17000.0,
+            "detail": {"cached_knn": 1.47e6, "cached_a": 17000.0},
+            "methodology": {"cached_knn": 1}}
+    cur = {"value": 17000.0,
+           "detail": {"cached_knn": 3.65e6, "cached_a": 17000.0},
+           "methodology": {"cached_knn": 2}}
+    rows = {n: (d, b) for n, d, b in perf_gate.gate_details(base, cur, 0.15)}
+    assert rows["cached_knn"][1] is False
+    assert "methodology" in rows["cached_knn"][0]
+    assert rows["cached_a"][1] is False  # same (absent) version: gated
+
+    # the skip works in the REGRESSING direction too — the dangerous case
+    # where a methodology change would otherwise read as a perf drop
+    cur_down = {"value": 17000.0, "detail": {"cached_knn": 0.5e6},
+                "methodology": {"cached_knn": 2}}
+    rows = {n: (d, b)
+            for n, d, b in perf_gate.gate_details(base, cur_down, 0.15)}
+    assert rows["cached_knn"][1] is False
+    assert "methodology" in rows["cached_knn"][0]
+
+    # one side missing the entry entirely (legacy doc): gate normally —
+    # those docs WERE measured at the versions bench.py now declares
+    legacy = {"value": 17000.0, "detail": {"cached_knn": 3.65e6}}
+    rows = {n: (d, b)
+            for n, d, b in perf_gate.gate_details(legacy, cur_down, 0.15)}
+    assert rows["cached_knn"][1] is True  # a real regression still fails
+
+
+def test_perf_gate_noted_rows_report_only():
+    """A row carrying a <row>_note (e.g. the knn RTT subtraction was refused
+    on a sick transport) was measured under anomalous conditions: report-only
+    on either side, and the _note metadata key is never gated as a rate."""
+    perf_gate = _import_perf_gate()
+
+    base = {"value": 17000.0, "detail": {"cached_knn": 3.65e6}}
+    cur = {"value": 17000.0,
+           "detail": {"cached_knn": 1.0e6,
+                      "cached_knn_note": "rtt 60 ms > 50% of fenced 90 ms"}}
+    rows = {n: (d, b) for n, d, b in perf_gate.gate_details(base, cur, 0.15)}
+    assert "cached_knn_note" not in rows
+    assert rows["cached_knn"][1] is False
+    assert "report-only" in rows["cached_knn"][0]
+
+    # noted BASELINE side too: its recorded rate is not a trustworthy floor
+    rows = {n: (d, b) for n, d, b in perf_gate.gate_details(cur, base, 0.15)}
+    assert rows["cached_knn"][1] is False
+
+
+def test_perf_gate_mixed_link_sources_annotated():
+    """When the two sides' link divisors come from differently-defined
+    estimators (bracketed per-row vs start-of-run doc probe) the verdict
+    says so, and a recorded-but-ZERO per-row link falls back to the doc
+    probe instead of being used by truthiness (ADVICE r4)."""
+    perf_gate = _import_perf_gate()
+
+    base = {"value": 17000.0, "link_mbps": 40.0,
+            "detail": {"streaming_b": 320.0, "streaming_b_link_mbps": 40.0}}
+    cur = {"value": 17000.0, "link_mbps": 40.0,
+           "detail": {"streaming_b": 320.0}}
+    rows = {n: (d, b) for n, d, b in perf_gate.gate_details(base, cur, 0.15)}
+    assert rows["streaming_b"][1] is False
+    assert "different estimators" in rows["streaming_b"][0]
+
+    # zero per-row link (failed bracket probe): falls back to the doc link,
+    # same-source (doc/doc on cur side vs row on base) annotation still fires
+    cur = {"value": 17000.0, "link_mbps": 40.0,
+           "detail": {"streaming_b": 320.0, "streaming_b_link_mbps": 0.0}}
+    rows = {n: (d, b) for n, d, b in perf_gate.gate_details(base, cur, 0.15)}
+    assert rows["streaming_b"][1] is False
+    assert "different estimators" in rows["streaming_b"][0]
+
+    # both per-row: no annotation
+    cur = {"value": 17000.0, "link_mbps": 40.0,
+           "detail": {"streaming_b": 320.0, "streaming_b_link_mbps": 40.0}}
+    rows = {n: (d, b) for n, d, b in perf_gate.gate_details(base, cur, 0.15)}
+    assert "different estimators" not in rows["streaming_b"][0]
+
+
+def test_bench_knn_rtt_guard(monkeypatch):
+    """The knn row's RTT subtraction is refused when the post-hoc RTT
+    estimate exceeds half the fenced time — an RTT wobble must never mint an
+    unboundedly-inflated rate that becomes an unreachable gate floor
+    (ADVICE r4)."""
+    import bench
+
+    # healthy transport: corrected, no note
+    monkeypatch.setattr(bench, "measure_rtt_ms", lambda repeats=7: 0.0)
+    rate, note = bench.bench_knn_topk(n=256, d=8, k=3, chain=2, reps=1)
+    assert rate > 0 and note is None
+
+    # sick transport: the estimate would subtract most of the fenced time
+    monkeypatch.setattr(bench, "measure_rtt_ms", lambda repeats=7: 1e7)
+    rate_unc, note = bench.bench_knn_topk(n=256, d=8, k=3, chain=2, reps=1)
+    assert rate_unc > 0
+    assert note is not None and "UNCORRECTED" in note

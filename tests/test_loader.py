@@ -344,3 +344,46 @@ def test_triplet_neg_pool_override(synthetic_dataset_mv):
     assert set(negs) - set(suffix.tolist()), \
         "negatives never left the suffix partition"
     assert set(negs) <= set(idx.tolist())
+
+
+def test_synthetic_interrupted_generation_is_clean(tmp_path):
+    """An interrupted generation must leave NO orphaned multi-GiB *.tmp and
+    NO fresh npz metadata pointing at a stale/missing frames.npy: the frame
+    memmaps are renamed into place first and the npz files are written last,
+    so the npz acts as the completion marker (ADVICE r4)."""
+    import os
+
+    import pytest
+
+    from srl_zoo_tpu.data import synthetic
+
+    folder = str(tmp_path / "interrupted")
+
+    real = synthetic._generate_into
+
+    def boom(*args, **kwargs):
+        real(*args, **kwargs)  # fill the memmaps fully...
+        raise RuntimeError("disk died mid-generation (test)")
+
+    orig = synthetic._generate_into
+    synthetic._generate_into = boom
+    try:
+        with pytest.raises(RuntimeError, match="disk died"):
+            synthetic.generate_dataset(folder, n_episodes=2, episode_len=8,
+                                       img_size=16, seed=0)
+    finally:
+        synthetic._generate_into = orig
+
+    leftovers = [f for f in os.listdir(folder) if f.endswith(".tmp")]
+    assert leftovers == [], f"orphaned tmp files: {leftovers}"
+    # the completion markers were never written — a loader sees "no
+    # dataset", not fresh metadata over missing frames
+    assert not os.path.exists(os.path.join(folder, "preprocessed_data.npz"))
+    assert not os.path.exists(os.path.join(folder, "ground_truth.npz"))
+    assert not os.path.exists(os.path.join(folder, "frames.npy"))
+
+    # a rerun over the same folder completes normally
+    synthetic.generate_dataset(folder, n_episodes=2, episode_len=8,
+                               img_size=16, seed=0)
+    assert os.path.exists(os.path.join(folder, "frames.npy"))
+    assert os.path.exists(os.path.join(folder, "preprocessed_data.npz"))

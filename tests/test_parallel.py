@@ -174,3 +174,31 @@ def test_sharded_cache_training_matches_replicated(synthetic_dataset,
                                hists["sharded"]["train/total"], rtol=1e-6)
     np.testing.assert_allclose(hists["on"]["val/total"],
                                hists["sharded"]["val/total"], rtol=1e-6)
+
+
+def test_mesh_spans_processes_and_local_slicing():
+    """shard_array/shard_batch key their multi-process row slicing on
+    whether the MESH spans processes, not on jax.process_count(): a
+    process-local mesh inside a distributed job must take the plain
+    device_put path or each process silently feeds the wrong contiguous
+    slice of its own full batch (ADVICE r4)."""
+    import numpy as np
+
+    from srl_zoo_tpu.parallel import mesh as pm
+
+    m = pm.make_mesh()
+    # single-process run: no mesh here spans processes
+    assert pm.mesh_spans_processes(m) is False
+    # and even if the global process count were >1 (monkeypatched), a
+    # process-local mesh must still take the plain device_put path
+    orig = jax.process_count
+    try:
+        jax.process_count = lambda: 2
+        arr = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+        out = pm.shard_array(arr, m)
+        np.testing.assert_array_equal(np.asarray(out), arr)
+        batch = {"obs": arr, "valid": np.ones(16, np.float32)}
+        sharded = pm.shard_batch(batch, m)
+        np.testing.assert_array_equal(np.asarray(sharded["obs"]), arr)
+    finally:
+        jax.process_count = orig
