@@ -82,39 +82,72 @@ def run_one(ds, rotate: bool, seed: int, workdir: str, epochs: int) -> dict:
             "knn_mse": float(knn), "gtc": float(gtc)}
 
 
+# Scenarios (VERDICT r4 #3): "multiview" is the r4 worst case for the
+# STATIC prefix's triplet-negative confinement; "drift" adds long-range
+# temporal structure (background brightens across episodes, invisible in the
+# 2D ground truth) so a temporal-prefix hot set only ever trains negatives
+# against early backgrounds — the case rotation should WIN outright.
+SCENARIOS = {
+    "multiview": dict(background_drift=0.0),
+    "drift": dict(background_drift=1.0),
+}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--seeds", type=int, nargs="+", default=[1, 2])
+    ap.add_argument("--seeds", type=int, nargs="+", default=[1, 2, 3, 4, 5])
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--workdir", default=None)
+    ap.add_argument("--scenarios", nargs="+", default=list(SCENARIOS),
+                    choices=list(SCENARIOS))
+    ap.add_argument("--out", default=None,
+                    help="write the full JSON result here as well")
     args = ap.parse_args()
 
     workdir = args.workdir or tempfile.mkdtemp(prefix="rot_ab_")
-    data = os.path.join(workdir, "synth_mv")
-    if not os.path.exists(os.path.join(data, "preprocessed_data.npz")):
-        generate_dataset(data, n_episodes=40, episode_len=100, img_size=224,
-                         seed=0, multi_view=True)
-    ds = load_dataset(data)
+    result = {}
+    for scen in args.scenarios:
+        data = os.path.join(workdir, f"synth_{scen}")
+        if not os.path.exists(os.path.join(data, "preprocessed_data.npz")):
+            generate_dataset(data, n_episodes=40, episode_len=100,
+                             img_size=224, seed=0, multi_view=True,
+                             **SCENARIOS[scen])
+        ds = load_dataset(data)
 
-    rows = []
-    for seed in args.seeds:
-        for rotate in (True, False):
-            r = run_one(ds, rotate, seed, workdir, args.epochs)
-            rows.append(r)
-            print(json.dumps(r), flush=True)
+        rows = []
+        for seed in args.seeds:
+            for rotate in (True, False):
+                r = run_one(ds, rotate, seed,
+                            os.path.join(workdir, scen), args.epochs)
+                r["scenario"] = scen
+                rows.append(r)
+                print(json.dumps(r), flush=True)
 
-    print("\n| mode | KNN-MSE (mean±std) | GTC (mean±std) |")
-    print("|---|---|---|")
-    summary = {}
-    for mode in ("rotating", "static"):
-        sub = [r for r in rows if r["mode"] == mode]
-        agg = {k: (float(np.mean([r[k] for r in sub])),
-                   float(np.std([r[k] for r in sub])))
-               for k in ("knn_mse", "gtc")}
-        summary[mode] = agg
-        print(f"| {mode} | {agg['knn_mse'][0]:.5f}±{agg['knn_mse'][1]:.5f} "
-              f"| {agg['gtc'][0]:.3f}±{agg['gtc'][1]:.3f} |")
-    print(json.dumps({"summary": summary, "rows": rows}))
+        print(f"\n[{scen}] per-seed (rotating vs static):")
+        for seed in args.seeds:
+            by = {r["mode"]: r for r in rows if r["seed"] == seed}
+            print(f"  seed {seed}: GTC {by['rotating']['gtc']:.3f} vs "
+                  f"{by['static']['gtc']:.3f}; KNN-MSE "
+                  f"{by['rotating']['knn_mse']:.5f} vs "
+                  f"{by['static']['knn_mse']:.5f}")
+        print(f"\n[{scen}] | mode | KNN-MSE (mean±std) | GTC (mean±std) |")
+        print("|---|---|---|")
+        summary = {}
+        for mode in ("rotating", "static"):
+            sub = [r for r in rows if r["mode"] == mode]
+            agg = {k: (float(np.mean([r[k] for r in sub])),
+                       float(np.std([r[k] for r in sub])))
+                   for k in ("knn_mse", "gtc")}
+            summary[mode] = agg
+            print(f"| {mode} | {agg['knn_mse'][0]:.5f}±{agg['knn_mse'][1]:.5f} "
+                  f"| {agg['gtc'][0]:.3f}±{agg['gtc'][1]:.3f} |")
+        result[scen] = {"summary": summary, "rows": rows}
+        print(json.dumps({scen: result[scen]}), flush=True)
+
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
 
 
 if __name__ == "__main__":

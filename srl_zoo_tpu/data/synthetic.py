@@ -20,13 +20,16 @@ import numpy as np
 
 
 def _render_frame(pos: np.ndarray, target: np.ndarray, size: int,
-                  view: int = 0) -> np.ndarray:
+                  view: int = 0, bg_shift: int = 0) -> np.ndarray:
     """Render one (size, size, 3) uint8 frame. ``view`` changes the palette and
-    mirrors the scene to emulate a second camera for multi-view datasets."""
-    img = np.full((size, size, 3), 40 if view == 0 else 70, dtype=np.uint8)
+    mirrors the scene to emulate a second camera for multi-view datasets.
+    ``bg_shift`` brightens the background's R/G channels (0..160) — the
+    long-range temporal drift knob (see generate_dataset background_drift)."""
+    base = (40 if view == 0 else 70) + int(bg_shift)
+    img = np.full((size, size, 3), min(base, 230), dtype=np.uint8)
     # background gradient so reconstructions are non-trivial
     ramp = np.linspace(0, 60, size, dtype=np.uint8)
-    img[:, :, 2] += ramp[None, :]
+    img[:, :, 2] = (40 if view == 0 else 70) + ramp[None, :]
 
     def draw(center_xy, half, color):
         cx = int(center_xy[0] * (size - 1))
@@ -51,6 +54,7 @@ def generate_dataset(
     save_jpgs: bool = False,
     multi_view: bool = False,
     task: str = "navigation",
+    background_drift: float = 0.0,
 ) -> str:
     """Write a synthetic dataset with the reference npz schema. Returns the
     dataset folder path. Fully deterministic for a given seed.
@@ -62,6 +66,12 @@ def generate_dataset(
         +1 only when pressing (moving onto) the button, episodes are
         shorter-horizon and the button is centered, emulating the Kuka
         dataset's reward sparsity.
+
+    ``background_drift`` in [0, 1] brightens the background linearly across
+    EPISODES (0..drift*160 R/G shift from first to last episode) — long-range
+    temporal structure that is invisible in the 2D ground truth. Built for
+    the hybrid-rotation A/B (VERDICT r4 #3): a temporal-prefix hot set only
+    ever sees early backgrounds, the maximally unrepresentative case.
     """
     rng = np.random.RandomState(seed)
     os.makedirs(data_folder, exist_ok=True)
@@ -96,7 +106,7 @@ def generate_dataset(
         _generate_into(frames, frames_2, rng, moves, target, task,
                        n_episodes, episode_len, img_size, multi_view,
                        actions, rewards, episode_starts, states,
-                       images_path, images_path_2)
+                       images_path, images_path_2, background_drift)
 
         actions = np.asarray(actions, np.int32)
         rewards = np.asarray(rewards, np.float32)
@@ -146,10 +156,13 @@ def generate_dataset(
 def _generate_into(frames, frames_2, rng, moves, target, task,
                    n_episodes, episode_len, img_size, multi_view,
                    actions, rewards, episode_starts, states,
-                   images_path, images_path_2) -> None:
+                   images_path, images_path_2,
+                   background_drift: float = 0.0) -> None:
     """Roll out the episodes, filling the memmaps + metadata lists."""
     i = 0
     for ep in range(n_episodes):
+        bg_shift = int(round(background_drift * 160.0 * ep
+                             / max(n_episodes - 1, 1)))
         pos = rng.uniform(0.1, 0.9, size=2).astype(np.float32)
         prev_r = 0.0  # training-schema convention: rewards[t] is the reward
         # received upon ARRIVING at frame t (0 at episode start), so the
@@ -168,10 +181,12 @@ def _generate_into(frames, frames_2, rng, moves, target, task,
             rewards.append(prev_r)
             states.append(pos.copy())
             prev_r = r
-            frames[i] = _render_frame(pos, target, img_size, view=0)
+            frames[i] = _render_frame(pos, target, img_size, view=0,
+                                      bg_shift=bg_shift)
             images_path.append(f"record_{ep:03d}/frame{t:06d}.jpg")
             if multi_view:
-                frames_2[i] = _render_frame(pos, target, img_size, view=1)
+                frames_2[i] = _render_frame(pos, target, img_size, view=1,
+                                            bg_shift=bg_shift)
                 images_path_2.append(f"record_{ep:03d}/frame{t:06d}_2.jpg")
             pos = new_pos
             i += 1

@@ -129,6 +129,14 @@ def robotic_priors_loss(state: jnp.ndarray, next_state: jnp.ndarray,
         "priors/causality": causality,
         "priors/proportionality": proportionality,
         "priors/repeatability": repeatability,
+        # per-metric denominators (valid PAIR counts, not sample counts):
+        # the epoch-level mean of a per-pair masked mean is only exact when
+        # weighted by its own pair count — batches with few pairs would
+        # otherwise bias the epoch metric (VERDICT r4 weak #3). Consumed by
+        # training/learner._tree_weighted_mean; stripped from logged output.
+        "_w/priors/causality": jnp.sum(dissimilar_mask),
+        "_w/priors/proportionality": jnp.sum(same_action_mask),
+        "_w/priors/repeatability": jnp.sum(same_action_mask),
     }
     return temporal + causality + proportionality + repeatability, terms
 

@@ -1,0 +1,211 @@
+"""Live-torch step-level parity (VERDICT r4 #2) — slow lane.
+
+Per loss family: identical weights (flax param tree -> torch mirror),
+identical batches (the real DataLoader's), both sides stepped with the same
+optimizer; per-step TOTAL loss and post-run parameters must agree to float32
+noise. The torch side (tests/torch_parity_lib.py) implements the DOCUMENTED
+formulas independently, so agreement externally validates design decisions
+#1 (mean reductions), #2 (priors formulas), #7 (normalization), #8 (Adam
+eps), #12 (triplet), #20 (head widths) against live torch — the closest
+available proxy for reference parity on an air-gapped host
+(docs/DESIGN_DECISIONS.md; reference: losses/losses.py, models/learner.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from srl_zoo_tpu.config import SRLConfig
+from srl_zoo_tpu.data.loader import DataLoader
+from srl_zoo_tpu.ops.preproc import normalize_images, occlude
+from srl_zoo_tpu.training.state import create_train_state
+from srl_zoo_tpu.training.train_step import build_steps
+
+pytestmark = pytest.mark.slow
+
+LOSS_RTOL = 2e-5   # per-step total loss agreement
+PARAM_RTOL = 1e-3  # post-run params: values are O(1e-2), deltas O(lr*grad)
+PARAM_ATOL = 1e-6
+
+
+def _cfg(ds, tmp_path, losses, **kw):
+    defaults = dict(model_type="mlp", state_dim=4, img_height=32,
+                    img_width=32, batch_size=16, epochs=1,
+                    learning_rate=5e-3, losses=losses,
+                    split_dims=tuple((n, -1) for n, _ in losses),
+                    n_actions=ds.n_actions,
+                    n_reward_classes=ds.n_reward_classes,
+                    data_folder=ds.data_folder,
+                    log_folder=str(tmp_path / "parity"))
+    defaults.update(kw)
+    return SRLConfig(**defaults)
+
+
+def _run_parity(ds, cfg, n_steps=4):
+    """Step the PRODUCTION jitted train_step and the torch mirror on the
+    same batches with SGD (updates linear in the gradient, so float noise
+    stays noise — see test_adam_update_rule_matches_torch for why Adam gets
+    a dedicated update-rule test instead); assert per-step loss parity and
+    post-run parameter parity."""
+    import torch
+
+    from torch_parity_lib import (TorchSRLMirror, assert_params_close,
+                                  torch_total_loss)
+
+    model, state, _ = create_train_state(cfg, jax.random.PRNGKey(0))
+    lr = cfg.learning_rate
+    tx = optax.sgd(lr)
+    state = state.replace(opt_state=tx.init(state.params))
+    train_step, *_ = build_steps(cfg, model, tx)
+
+    mirror = TorchSRLMirror(cfg, jax.device_get(state.params))
+    topt = torch.optim.SGD(mirror.parameters(), lr=lr)
+
+    loader = DataLoader(ds, ds.training_indices(), cfg, shuffle=True,
+                        seed=3, wraparound=True, emit_images=True)
+    batches = list(loader)[:n_steps]
+    assert len(batches) == n_steps
+
+    train_rng = jax.random.PRNGKey(7)
+    losses_seen = []
+    for i, b in enumerate(batches):
+        # capture the step's stochastic tensors from the JAX side BEFORE the
+        # step (same rng chain as train_step: fold_in(step) -> fold_in(1) ->
+        # split), so both frameworks consume identical noise
+        eps = occluded = None
+        if cfg.use_vae or cfg.use_dae:
+            rng_step = jax.random.fold_in(train_rng, i)
+            occl_rng, sample_rng = jax.random.split(
+                jax.random.fold_in(rng_step, 1))
+            obs_n = normalize_images(jnp.asarray(b["obs"]),
+                                     cfg.normalize_mode)
+            if cfg.use_dae:
+                occluded = np.asarray(
+                    occlude(occl_rng, obs_n, cfg.occlusion_percentage))
+            if cfg.use_vae:
+                variables = {"params": state.params,
+                             "batch_stats": state.batch_stats}
+                outs = model.apply(variables, obs_n, None, None, None, None,
+                                   None, train=True,
+                                   rngs={"sampling": sample_rng})
+                sigma = np.exp(0.5 * np.asarray(outs["logvar"], np.float64))
+                eps = ((np.asarray(outs["state"], np.float64)
+                        - np.asarray(outs["mu"], np.float64)) / sigma
+                       ).astype(np.float32)
+
+        state, metrics = train_step(state, b, train_rng, None)
+        j_total = float(jax.device_get(metrics["total"]))
+
+        out = mirror(b, eps=eps, occluded_obs=occluded)
+        t_total, _ = torch_total_loss(cfg, out, b)
+        topt.zero_grad()
+        t_total.backward()
+        topt.step()
+
+        np.testing.assert_allclose(j_total, float(t_total.detach()),
+                                   rtol=LOSS_RTOL,
+                                   err_msg=f"step {i} total loss")
+        losses_seen.append(j_total)
+
+    assert_params_close(jax.device_get(state.params), mirror,
+                        rtol=PARAM_RTOL, atol=PARAM_ATOL)
+    # the runs actually trained (loss moved), so parity wasn't vacuous
+    assert losses_seen[0] != losses_seen[-1]
+
+
+def test_parity_autoencoder_sgd(synthetic_dataset, tmp_path):
+    _run_parity(synthetic_dataset,
+                _cfg(synthetic_dataset, tmp_path,
+                     (("autoencoder", 1.0),)))
+
+
+def test_adam_update_rule_matches_torch():
+    """Decision #8: optax.adam(b1=.9, b2=.999, eps=1e-8) applies the exact
+    torch.optim.Adam update — eps OUTSIDE the sqrt, identical bias
+    correction — across gradient magnitudes 1e-9..1.
+
+    Deliberately driven with IDENTICAL synthetic gradient streams instead of
+    end-to-end backward: Adam's early update is ~lr*sign(g), so entries with
+    |g| near zero flip sign on 1e-8-scale cross-framework float noise and
+    the runs diverge chaotically even when both update rules are correct
+    (measured: 3% param divergence after 5 steps while every SGD family
+    matches to 1e-5). Given bitwise-equal gradients the rule itself must
+    match to float noise — and the negative control (eps INSIDE the sqrt,
+    the classic optax/torch parity killer SURVEY §7 names) must NOT."""
+    import torch
+
+    rng = np.random.RandomState(0)
+    p0 = rng.randn(64, 8).astype(np.float32) * 0.1
+    scales = np.logspace(-9, 0, 8).astype(np.float32)
+    grad_stream = [(rng.randn(64, 8).astype(np.float32) * scales)
+                   for _ in range(6)]
+
+    def run_optax(tx):
+        p = jnp.asarray(p0)
+        st = tx.init(p)
+        for g in grad_stream:
+            up, st = tx.update(jnp.asarray(g), st, p)
+            p = optax.apply_updates(p, up)
+        return np.asarray(p)
+
+    tp = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    opt = torch.optim.Adam([tp], lr=5e-3, betas=(0.9, 0.999), eps=1e-8)
+    for g in grad_stream:
+        opt.zero_grad()
+        tp.grad = torch.from_numpy(g.copy())
+        opt.step()
+    torch_p = tp.detach().numpy()
+
+    ours = run_optax(optax.adam(5e-3, b1=0.9, b2=0.999, eps=1e-8))
+    # atol 1e-6: measured float32 op-order rounding is ~2e-7 over 6 steps;
+    # the wrong-eps-placement signal below is >1e-3, three orders above
+    np.testing.assert_allclose(ours, torch_p, rtol=1e-6, atol=1e-6)
+
+    # negative control: eps inside the sqrt diverges by ~lr on tiny grads,
+    # so this test genuinely discriminates the placement
+    inside = run_optax(optax.adam(5e-3, b1=0.9, b2=0.999, eps=0.0,
+                                  eps_root=1e-8))
+    assert np.max(np.abs(inside - torch_p)) > 1e-3
+
+
+def test_parity_vae_sgd(synthetic_dataset, tmp_path):
+    _run_parity(synthetic_dataset,
+                _cfg(synthetic_dataset, tmp_path, (("vae", 1.0),),
+                     beta=2.0))
+
+
+def test_parity_dae_sgd(synthetic_dataset, tmp_path):
+    _run_parity(synthetic_dataset,
+                _cfg(synthetic_dataset, tmp_path, (("dae", 1.0),)))
+
+
+def test_parity_priors_sgd(synthetic_dataset, tmp_path):
+    _run_parity(synthetic_dataset,
+                _cfg(synthetic_dataset, tmp_path, (("priors", 1.0),)))
+
+
+def test_parity_heads_with_splits_sgd(synthetic_dataset, tmp_path):
+    """forward/inverse/reward CE heads + SRL-splits slice routing, with
+    non-unit loss weights (decisions #1, #5, #20)."""
+    _run_parity(synthetic_dataset,
+                _cfg(synthetic_dataset, tmp_path,
+                     (("forward", 1.0), ("inverse", 2.0), ("reward", 1.0)),
+                     split_dims=(("forward", 2), ("inverse", 2),
+                                 ("reward", -1))))
+
+
+def test_parity_inverse_imagenet_norm(synthetic_dataset, tmp_path):
+    """Decision #7: the "image_net" normalization mode agrees with a torch
+    implementation of per-channel (x - mean*255)/(std*255)."""
+    _run_parity(synthetic_dataset,
+                _cfg(synthetic_dataset, tmp_path, (("inverse", 1.0),),
+                     normalize_mode="image_net"))
+
+
+def test_parity_triplet_sgd(synthetic_dataset_mv, tmp_path):
+    """Decision #12: multi-view triplet (margin 1.0, euclidean)."""
+    _run_parity(synthetic_dataset_mv,
+                _cfg(synthetic_dataset_mv, tmp_path, (("triplet", 1.0),),
+                     multi_view=True))

@@ -711,3 +711,70 @@ def test_sigkill_mid_training_then_resume(synthetic_dataset, tmp_path):
     enc = StateEncoder.load(log)
     states = enc.encode(np.zeros((2, 32, 32, 3), np.uint8))
     assert np.all(np.isfinite(states))
+
+
+def test_pair_term_epoch_metrics_exact(synthetic_dataset, tmp_path):
+    """Pair-term epoch metrics must be exact per-PAIR means across batches
+    with deliberately ragged pair masks: each metric weighted by its own
+    denominator, composites recomposed (VERDICT r4 weak #3). Ground truth is
+    an independent numpy pooling of the per-pair values."""
+    from srl_zoo_tpu.data.loader import DataLoader
+    from srl_zoo_tpu.training.learner import _mean_metrics
+    from srl_zoo_tpu.training.state import create_train_state
+    from srl_zoo_tpu.training.train_step import build_steps
+
+    ds = synthetic_dataset
+    cfg = _cfg(ds, tmp_path, losses=(("priors", 1.0),), batch_size=8)
+    model, state, tx = create_train_state(cfg, jax.random.PRNGKey(0))
+    _, eval_step, encode_step, _, _ = build_steps(cfg, model, tx)
+    rng = jax.random.PRNGKey(1)
+
+    # strided rows give reward variety so dissimilar pairs exist at all —
+    # and only in SOME batches (naturally ragged causality denominators)
+    val_idx = ds.training_indices()[::2][:19]  # 8 + 8 + padded 3
+    loader = DataLoader(ds, val_idx, cfg, shuffle=False, wraparound=False,
+                        emit_images=True)
+    batches = list(loader)
+    assert batches[-1]["valid"].sum() == 3
+    # deliberately ragged same-action masks on top: batch 0 keeps one pair
+    batches[0]["same_action_mask"][1:] = 0.0
+    assert (batches[0]["same_action_mask"].sum()
+            != batches[1]["same_action_mask"].sum())
+    assert batches[1]["dissimilar_mask"].sum() > 0
+    assert batches[0]["dissimilar_mask"].sum() == 0  # ragged across batches
+
+    got = _mean_metrics([eval_step(state, b, rng, None) for b in batches],
+                        cfg)
+
+    num = dict.fromkeys(("temporal", "causality", "proportionality",
+                         "repeatability"), 0.0)
+    den = dict(num)
+    for b in batches:
+        s = np.asarray(encode_step(state, b["obs"], None), np.float64)
+        sn = np.asarray(encode_step(state, b["next_obs"], None), np.float64)
+        d = sn - s
+        valid = b["valid"].astype(np.float64)
+        sa, da = b["same_action_partners"], b["dissimilar_partners"]
+        m_sa = b["same_action_mask"] * valid * valid[sa]
+        m_da = b["dissimilar_mask"] * valid * valid[da]
+        num["temporal"] += float(np.sum(np.sum(d * d, -1) * valid))
+        den["temporal"] += float(valid.sum())
+        num["causality"] += float(
+            np.sum(np.exp(-np.sum((s - s[da]) ** 2, -1)) * m_da))
+        den["causality"] += float(m_da.sum())
+        nd = np.sqrt(np.sum(d * d, -1) + 1e-12)
+        ndp = np.sqrt(np.sum(d[sa] ** 2, -1) + 1e-12)
+        num["proportionality"] += float(np.sum((nd - ndp) ** 2 * m_sa))
+        den["proportionality"] += float(m_sa.sum())
+        sim = np.exp(-np.sum((s - s[sa]) ** 2, -1))
+        num["repeatability"] += float(
+            np.sum(sim * np.sum((d - d[sa]) ** 2, -1) * m_sa))
+        den["repeatability"] += float(m_sa.sum())
+    assert all(v > 0 for v in den.values())
+    exact = {k: num[k] / den[k] for k in num}
+    for k, v in exact.items():
+        np.testing.assert_allclose(got[f"priors/{k}"], v, rtol=2e-4)
+    np.testing.assert_allclose(got["priors"], sum(exact.values()), rtol=2e-4)
+    np.testing.assert_allclose(got["total"], sum(exact.values()), rtol=2e-4)
+    # the internal weight keys never leak into logged output
+    assert not any(k.startswith("_") for k in got)

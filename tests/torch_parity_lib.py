@@ -1,0 +1,287 @@
+"""Live-torch step-level parity harness (VERDICT r4 #2).
+
+The reference mount has been empty for five rounds, so the loss formulas,
+reductions, and optimizer settings in losses/functions.py are documented
+design decisions (docs/DESIGN_DECISIONS.md) locked by golden tests — which
+would happily lock in a wrong guess. This module is the strongest
+reference-parity proxy an air-gapped host can produce: an INDEPENDENT
+PyTorch implementation of the documented formulas (written from the
+DESIGN_DECISIONS/SURVEY §2.6 prose, not transcribed from the JAX code),
+mirrored weights, identical batches, stepped with the same optimizer — if
+per-step losses and post-step parameters agree to float32 noise for several
+steps, the JAX implementation computes exactly what the documents say, as
+live torch understands it.
+
+Scope: the BatchNorm-free encoders (mlp/linear) — train-mode parity is then
+exact (no BN momentum/eps semantics to reconcile). custom_cnn/resnet
+eval-mode FORWARD parity against torch is already covered by
+tests/test_torch_export.py; the step-level harness validates the loss/
+optimizer half on top (reference: losses/losses.py, models/learner.py).
+
+Used by tests/test_torch_parity.py (slow lane).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+import torch
+from torch import nn
+
+from srl_zoo_tpu.config import RECONSTRUCTION_LOSSES
+from srl_zoo_tpu.ops.preproc import IMAGENET_MEAN, IMAGENET_STD
+
+Registry = List[Tuple[Tuple[str, ...], "torch.nn.Parameter", bool]]
+
+
+def _t(x) -> torch.Tensor:
+    return torch.from_numpy(np.asarray(x, np.float32).copy())
+
+
+def _lin(p: Dict, registry: Registry, path: Tuple[str, ...]) -> nn.Linear:
+    """Flax Dense params -> torch Linear, registering both tensors for the
+    post-step parameter comparison (kernel is stored transposed in torch)."""
+    k = np.asarray(p["kernel"], np.float32)
+    lin = nn.Linear(k.shape[0], k.shape[1])
+    lin.weight.data = torch.from_numpy(np.ascontiguousarray(k.T))
+    lin.bias.data = _t(p["bias"])
+    registry.append((path + ("kernel",), lin.weight, True))
+    registry.append((path + ("bias",), lin.bias, False))
+    return lin
+
+
+def _mlp(params: Dict, registry: Registry,
+         path: Tuple[str, ...]) -> nn.ModuleList:
+    """All Dense_i layers of a flax module, in index order."""
+    names = sorted((k for k in params if k.startswith("Dense_")),
+                   key=lambda n: int(n.split("_")[1]))
+    return nn.ModuleList([_lin(params[n], registry, path + (n,))
+                          for n in names])
+
+
+def _run_mlp(layers: nn.ModuleList, x: torch.Tensor) -> torch.Tensor:
+    """ReLU between layers, linear output (matches DenseEncoder/heads)."""
+    n = len(layers)
+    for i, lin in enumerate(layers):
+        x = lin(x)
+        if i < n - 1:
+            x = torch.relu(x)
+    return x
+
+
+def _slice(x: torch.Tensor, sl: Tuple[int, int]) -> torch.Tensor:
+    start, size = sl
+    return x[..., start:start + size]
+
+
+class TorchSRLMirror(nn.Module):
+    """Torch mirror of SRLModules for mlp/linear encoders: same weights,
+    same outputs dict, built directly from the flax param tree."""
+
+    def __init__(self, cfg, params: Dict):
+        super().__init__()
+        if cfg.model_type not in ("mlp", "linear"):
+            raise ValueError("parity mirror supports BatchNorm-free "
+                             "encoders (mlp/linear) only")
+        self.cfg = cfg
+        self.registry: Registry = []
+        self.encoder = _mlp(params["encoder"], self.registry, ("encoder",))
+        if cfg.use_decoder:
+            self.decoder = _mlp(params["decoder"], self.registry,
+                                ("decoder",))
+            self.recon_slice = next(cfg.slices[n] for n in cfg.loss_names
+                                    if n in RECONSTRUCTION_LOSSES)
+        if cfg.use_forward:
+            self.forward_model = _mlp(params["forward_model"], self.registry,
+                                      ("forward_model",))
+        if cfg.use_inverse:
+            self.inverse_model = _mlp(params["inverse_model"], self.registry,
+                                      ("inverse_model",))
+        if cfg.use_reward:
+            self.reward_model = _mlp(params["reward_model"], self.registry,
+                                     ("reward_model",))
+
+    # ---- preprocessing (decision #7: "tf" x*2/255-1, "image_net" mean/std) --
+    def normalize(self, u8: np.ndarray) -> torch.Tensor:
+        x = torch.from_numpy(np.asarray(u8, np.float32))
+        if self.cfg.normalize_mode == "tf":
+            return x * (2.0 / 255.0) - 1.0
+        if self.cfg.normalize_mode == "image_net":
+            reps = u8.shape[-1] // 3
+            mean = _t(np.asarray(IMAGENET_MEAN * reps) * 255.0)
+            std = _t(np.asarray(IMAGENET_STD * reps) * 255.0)
+            return (x - mean) / std
+        raise ValueError(self.cfg.normalize_mode)
+
+    def _encode_raw(self, x: torch.Tensor):
+        out = _run_mlp(self.encoder, x.flatten(1))
+        if self.cfg.use_vae:
+            mu, logvar = out.chunk(2, dim=-1)
+            return mu, logvar
+        return out, None
+
+    def _reparameterize(self, mu, logvar, eps):
+        """z = mu + exp(0.5 logvar) * eps on the vae slice only; ``eps`` is
+        captured from the JAX side (same values both frameworks)."""
+        if eps is None:
+            return mu
+        start, size = self.cfg.slices["vae"]
+        z = mu + torch.exp(0.5 * logvar) * eps
+        mask = torch.zeros(mu.shape[-1], dtype=torch.bool)
+        mask[start:start + size] = True
+        return torch.where(mask, z, mu)
+
+    def forward(self, batch: Dict[str, np.ndarray], eps: np.ndarray = None,
+                occluded_obs: np.ndarray = None) -> Dict[str, torch.Tensor]:
+        """Mirror of SRLModules.__call__ + train_step preprocessing: takes
+        the RAW uint8 loader batch, normalizes inside. ``occluded_obs`` is
+        the already-normalized DAE corruption captured from the JAX side."""
+        cfg = self.cfg
+        out: Dict[str, torch.Tensor] = {}
+        obs = self.normalize(batch["obs"])
+        out["target_obs"] = obs
+        enc_in = (_t(occluded_obs)
+                  if (cfg.use_dae and occluded_obs is not None) else obs)
+        mu, logvar = self._encode_raw(enc_in)
+        state = self._reparameterize(
+            mu, logvar, _t(eps) if eps is not None else None)
+        out["mu"], out["logvar"], out["state"] = mu, logvar, state
+
+        if cfg.needs_next_obs:
+            next_mu, _ = self._encode_raw(self.normalize(batch["next_obs"]))
+            out["next_state"] = next_mu  # no vae in next-state families here
+
+        if cfg.use_decoder:
+            z = _slice(state, self.recon_slice)
+            x = _run_mlp(self.decoder, z)
+            h, w, c = cfg.img_height, cfg.img_width, cfg.n_channels
+            out["recon"] = torch.tanh(x.view(-1, h, w, c))
+        if cfg.use_forward:
+            sl = cfg.slices["forward"]
+            a = torch.nn.functional.one_hot(
+                torch.from_numpy(np.asarray(batch["actions"],
+                                            np.int64)),
+                cfg.n_actions).float()
+            out["forward_pred"] = _run_mlp(
+                self.forward_model,
+                torch.cat([_slice(state, sl), a], dim=-1))
+        if cfg.use_inverse:
+            sl = cfg.slices["inverse"]
+            out["inverse_logits"] = _run_mlp(
+                self.inverse_model,
+                torch.cat([_slice(state, sl),
+                           _slice(out["next_state"], sl)], dim=-1))
+        if cfg.use_reward:
+            sl = cfg.slices["reward"]
+            out["reward_logits"] = _run_mlp(
+                self.reward_model,
+                torch.cat([_slice(state, sl),
+                           _slice(out["next_state"], sl)], dim=-1))
+        if cfg.use_triplet:
+            out["pos_state"], _ = self._encode_raw(
+                self.normalize(batch["pos_obs"]))
+            out["neg_state"], _ = self._encode_raw(
+                self.normalize(batch["neg_obs"]))
+        return out
+
+
+# ---- the documented loss formulas, written independently in torch ----------
+def _mse(a: torch.Tensor, b: torch.Tensor) -> torch.Tensor:
+    # decision #1: per-sample mean over all non-batch dims, then batch mean
+    return ((a - b) ** 2).flatten(1).mean(dim=1).mean()
+
+
+def _ce(logits: torch.Tensor, labels: np.ndarray) -> torch.Tensor:
+    logp = torch.log_softmax(logits, dim=-1)
+    y = torch.from_numpy(np.asarray(labels, np.int64))
+    return -logp.gather(-1, y[:, None])[:, 0].mean()
+
+
+def _masked_mean(v: torch.Tensor, m: torch.Tensor) -> torch.Tensor:
+    return (v * m).sum() / m.sum().clamp(min=1.0)
+
+
+def _safe_norm(x: torch.Tensor) -> torch.Tensor:
+    return torch.sqrt((x * x).sum(-1) + 1e-12)
+
+
+def torch_total_loss(cfg, out: Dict[str, torch.Tensor],
+                     batch: Dict[str, np.ndarray]
+                     ) -> Tuple[torch.Tensor, Dict[str, float]]:
+    """Weighted total per the documented objectives (SURVEY §2.6 /
+    DESIGN_DECISIONS #1-#3, #12). Training batches only (valid all-ones)."""
+    w = cfg.loss_dict
+    metrics: Dict[str, float] = {}
+    total = torch.zeros(())
+    state = out["state"]
+
+    def add(name, value):
+        nonlocal total
+        metrics[name] = float(value.detach())
+        total = total + w[name] * value
+
+    if "autoencoder" in w:
+        add("autoencoder", _mse(out["recon"], out["target_obs"]))
+    if "dae" in w:
+        add("dae", _mse(out["recon"], out["target_obs"]))
+    if "vae" in w:
+        sl = cfg.slices["vae"]
+        mu, logvar = _slice(out["mu"], sl), _slice(out["logvar"], sl)
+        kl = (-0.5 * (1.0 + logvar - mu ** 2 - torch.exp(logvar))
+              .mean(dim=-1)).mean()
+        add("vae", _mse(out["recon"], out["target_obs"]) + cfg.beta * kl)
+    if "priors" in w:
+        sl = cfg.slices["priors"]
+        s = _slice(state, sl)
+        sn = _slice(out["next_state"], sl)
+        d = sn - s
+        sa = torch.from_numpy(np.asarray(batch["same_action_partners"],
+                                         np.int64))
+        da = torch.from_numpy(np.asarray(batch["dissimilar_partners"],
+                                         np.int64))
+        m_sa = _t(batch["same_action_mask"])
+        m_da = _t(batch["dissimilar_mask"])
+        temporal = (d ** 2).sum(-1).mean()
+        causality = _masked_mean(
+            torch.exp(-((s - s[da]) ** 2).sum(-1)), m_da)
+        proportionality = _masked_mean(
+            (_safe_norm(d) - _safe_norm(d[sa])) ** 2, m_sa)
+        repeatability = _masked_mean(
+            torch.exp(-((s - s[sa]) ** 2).sum(-1))
+            * ((d - d[sa]) ** 2).sum(-1), m_sa)
+        add("priors", temporal + causality + proportionality + repeatability)
+    if "forward" in w:
+        sl = cfg.slices["forward"]
+        add("forward", _mse(out["forward_pred"],
+                            _slice(out["next_state"], sl)))
+    if "inverse" in w:
+        add("inverse", _ce(out["inverse_logits"], batch["actions"]))
+    if "reward" in w:
+        add("reward", _ce(out["reward_logits"], batch["reward_classes"]))
+    if "triplet" in w:
+        sl = cfg.slices["triplet"]
+        a = _slice(out["mu"], sl)
+        d_pos = _safe_norm(a - _slice(out["pos_state"], sl))
+        d_neg = _safe_norm(a - _slice(out["neg_state"], sl))
+        add("triplet", torch.clamp(d_pos - d_neg + 1.0, min=0.0).mean())
+    assert cfg.l1_reg == 0 and cfg.l2_reg == 0, \
+        "parity harness does not wire the parameter regularizers"
+    metrics["total"] = float(total.detach())
+    return total, metrics
+
+
+def assert_params_close(flax_params: Dict, mirror: TorchSRLMirror,
+                        rtol: float, atol: float) -> None:
+    """Every mirrored tensor agrees with its flax counterpart post-step."""
+    assert mirror.registry, "empty registry"
+    for path, param, transposed in mirror.registry:
+        node = flax_params
+        for k in path:
+            node = node[k]
+        got = param.detach().numpy()
+        if transposed:
+            got = got.T
+        np.testing.assert_allclose(
+            np.asarray(node), got, rtol=rtol, atol=atol,
+            err_msg="/".join(path))
