@@ -1,4 +1,5 @@
-.PHONY: test test-fast smoke bench perf-gate tpu-checkup native clean demo
+.PHONY: test test-fast smoke bench perf-gate tpu-checkup native clean demo \
+	results
 
 native:
 	$(MAKE) -C native
@@ -14,6 +15,9 @@ smoke:
 
 bench:
 	python bench.py
+
+results:  # regenerate the RESULTS.md headline quality table (TPU host)
+	python benchmarks/reproduce_results.py
 
 perf-gate:
 	python ci/perf_gate.py

@@ -209,3 +209,14 @@ def test_parity_triplet_sgd(synthetic_dataset_mv, tmp_path):
     _run_parity(synthetic_dataset_mv,
                 _cfg(synthetic_dataset_mv, tmp_path, (("triplet", 1.0),),
                      multi_view=True))
+
+
+def test_parity_episode_prior_sgd(synthetic_dataset, tmp_path):
+    """Decision #4: adversarial episode-prior wiring — discriminator BCE on
+    detached states at weight 1 + encoder fooling a weight-frozen
+    discriminator at the loss weight, ONE optimizer step updating both.
+    Step-level agreement proves the stop-gradient topology (parameter-
+    subtree freezing vs torch detach()) routes gradients identically."""
+    _run_parity(synthetic_dataset,
+                _cfg(synthetic_dataset, tmp_path,
+                     (("episode-prior", 0.5),)))

@@ -101,6 +101,9 @@ class TorchSRLMirror(nn.Module):
         if cfg.use_reward:
             self.reward_model = _mlp(params["reward_model"], self.registry,
                                      ("reward_model",))
+        if cfg.use_episode_prior:
+            self.discriminator = _mlp(params["discriminator"], self.registry,
+                                      ("discriminator",))
 
     # ---- preprocessing (decision #7: "tf" x*2/255-1, "image_net" mean/std) --
     def normalize(self, u8: np.ndarray) -> torch.Tensor:
@@ -183,6 +186,25 @@ class TorchSRLMirror(nn.Module):
                 self.normalize(batch["pos_obs"]))
             out["neg_state"], _ = self._encode_raw(
                 self.normalize(batch["neg_obs"]))
+        if cfg.use_episode_prior:
+            # decision #4's adversarial topology: the discriminator learns
+            # on DETACHED states; the encoder fools a WEIGHT-FROZEN
+            # discriminator (mirrors train_step._extras' parameter-subtree
+            # stop-gradients)
+            sl = cfg.slices["episode-prior"]
+            s1 = _slice(state, sl)
+            s2 = s1[torch.from_numpy(
+                np.asarray(batch["episode_partners"], np.int64))]
+            x_d = torch.cat([s1.detach(), s2.detach()], dim=-1)
+            out["disc_logits_d"] = _run_mlp(self.discriminator, x_d)[..., 0]
+            x_e = torch.cat([s1, s2], dim=-1)
+            n = len(self.discriminator)
+            for i, lin in enumerate(self.discriminator):
+                x_e = torch.nn.functional.linear(
+                    x_e, lin.weight.detach(), lin.bias.detach())
+                if i < n - 1:
+                    x_e = torch.relu(x_e)
+            out["disc_logits_e"] = x_e[..., 0]
         return out
 
 
@@ -265,6 +287,19 @@ def torch_total_loss(cfg, out: Dict[str, torch.Tensor],
         d_pos = _safe_norm(a - _slice(out["pos_state"], sl))
         d_neg = _safe_norm(a - _slice(out["neg_state"], sl))
         add("triplet", torch.clamp(d_pos - d_neg + 1.0, min=0.0).mean())
+    if "episode-prior" in w:
+        # documented stable BCE; discriminator at weight 1, encoder fooling
+        # (flipped labels) at the loss weight
+        y = _t(batch["episode_labels"])
+
+        def bce(logits, target):
+            return (torch.clamp(logits, min=0) - logits * target
+                    + torch.log1p(torch.exp(-logits.abs()))).mean()
+        d_loss = bce(out["disc_logits_d"], y)
+        e_loss = bce(out["disc_logits_e"], 1.0 - y)
+        metrics["episode-prior/discriminator"] = float(d_loss.detach())
+        metrics["episode-prior"] = float(e_loss.detach())
+        total = total + d_loss + w["episode-prior"] * e_loss
     assert cfg.l1_reg == 0 and cfg.l2_reg == 0, \
         "parity harness does not wire the parameter regularizers"
     metrics["total"] = float(total.detach())
