@@ -30,6 +30,25 @@ PARAM_RTOL = 1e-3  # post-run params: values are O(1e-2), deltas O(lr*grad)
 PARAM_ATOL = 1e-6
 
 
+@pytest.fixture(scope="module")
+def mlp_dae_log(synthetic_dataset, tmp_path_factory):
+    """A trained MLP DAE checkpoint for the perceptual-parity test (the
+    mirror needs a BatchNorm-free frozen encoder it can replay exactly)."""
+    from srl_zoo_tpu.training.learner import SRL4robotics
+    ds = synthetic_dataset
+    log = str(tmp_path_factory.mktemp("mlp_dae"))
+    cfg = SRLConfig(model_type="mlp", state_dim=4, img_height=32,
+                    img_width=32, batch_size=16, epochs=1,
+                    losses=(("dae", 1.0),), split_dims=(("dae", -1),),
+                    n_actions=ds.n_actions,
+                    n_reward_classes=ds.n_reward_classes,
+                    data_folder=ds.data_folder, device_cache="on",
+                    log_folder=log)
+    cfg.save(log)
+    SRL4robotics(cfg, log_folder=log).learn(ds)
+    return log
+
+
 def _cfg(ds, tmp_path, losses, **kw):
     defaults = dict(model_type="mlp", state_dim=4, img_height=32,
                     img_width=32, batch_size=16, epochs=1,
@@ -58,9 +77,22 @@ def _run_parity(ds, cfg, n_steps=4):
     lr = cfg.learning_rate
     tx = optax.sgd(lr)
     state = state.replace(opt_state=tx.init(state.params))
-    train_step, *_ = build_steps(cfg, model, tx)
 
-    mirror = TorchSRLMirror(cfg, jax.device_get(state.params))
+    dae_feature_fn = dae_params = None
+    if cfg.path_to_dae:
+        # the PRODUCTION frozen-DAE path on the JAX side; the mirror gets
+        # the same checkpoint's raw params as constants
+        from srl_zoo_tpu.training import checkpoint as ckpt
+        from srl_zoo_tpu.training.learner import SRL4robotics
+        dae_feature_fn = SRL4robotics._build_frozen_dae(cfg.path_to_dae)
+        dae_cfg = SRLConfig.load(cfg.path_to_dae)
+        _, dae_state, _ = ckpt.load_srl_model(cfg.path_to_dae, dae_cfg)
+        dae_params = jax.device_get(dae_state.params)
+    train_step, *_ = build_steps(cfg, model, tx,
+                                 dae_feature_fn=dae_feature_fn)
+
+    mirror = TorchSRLMirror(cfg, jax.device_get(state.params),
+                            dae_params=dae_params)
     topt = torch.optim.SGD(mirror.parameters(), lr=lr)
 
     loader = DataLoader(ds, ds.training_indices(), cfg, shuffle=True,
@@ -99,7 +131,8 @@ def _run_parity(ds, cfg, n_steps=4):
         j_total = float(jax.device_get(metrics["total"]))
 
         out = mirror(b, eps=eps, occluded_obs=occluded)
-        t_total, _ = torch_total_loss(cfg, out, b)
+        t_total, _ = torch_total_loss(cfg, out, b,
+                                      params=list(mirror.parameters()))
         topt.zero_grad()
         t_total.backward()
         topt.step()
@@ -209,6 +242,43 @@ def test_parity_triplet_sgd(synthetic_dataset_mv, tmp_path):
     _run_parity(synthetic_dataset_mv,
                 _cfg(synthetic_dataset_mv, tmp_path, (("triplet", 1.0),),
                      multi_view=True))
+
+
+def test_parity_reward_prior_sgd(synthetic_dataset, tmp_path):
+    """Decision #3: reward-prior = -mean(squared batch covariance between
+    each state dim and the centered reward)."""
+    _run_parity(synthetic_dataset,
+                _cfg(synthetic_dataset, tmp_path,
+                     (("reward-prior", 1.0), ("autoencoder", 1.0))))
+
+
+def test_parity_supervised_sgd(synthetic_dataset, tmp_path):
+    """Supervised baseline: MSE of the state slice to ground-truth states
+    (reference: models/supervised.py). state_dim matches the dataset's
+    ground-truth dim, as the objective requires."""
+    _run_parity(synthetic_dataset,
+                _cfg(synthetic_dataset, tmp_path, (("supervised", 1.0),),
+                     state_dim=synthetic_dataset.ground_truth_states.shape[1]))
+
+
+def test_parity_l1_l2_reg_sgd(synthetic_dataset, tmp_path):
+    """The size-normalized l1/l2 parameter regularizers (reference:
+    losses/losses.py l1Loss/l2Loss), riding on an AE objective so the
+    regularizer gradient composes with a real loss."""
+    _run_parity(synthetic_dataset,
+                _cfg(synthetic_dataset, tmp_path, (("autoencoder", 1.0),),
+                     l1_reg=1e-2, l2_reg=1e-2))
+
+
+def test_parity_perceptual_sgd(synthetic_dataset, mlp_dae_log, tmp_path):
+    """Perceptual similarity: MSE between frozen-pretrained-DAE features of
+    the reconstruction and of the clean target (reference:
+    perceptualSimilarityLoss + --path-to-dae). The JAX side loads the
+    checkpoint through the production learner._build_frozen_dae; the torch
+    mirror re-runs the same frozen encoder as constants."""
+    _run_parity(synthetic_dataset,
+                _cfg(synthetic_dataset, tmp_path, (("perceptual", 1.0),),
+                     path_to_dae=mlp_dae_log))
 
 
 def test_parity_episode_prior_sgd(synthetic_dataset, tmp_path):

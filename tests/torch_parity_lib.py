@@ -79,7 +79,7 @@ class TorchSRLMirror(nn.Module):
     """Torch mirror of SRLModules for mlp/linear encoders: same weights,
     same outputs dict, built directly from the flax param tree."""
 
-    def __init__(self, cfg, params: Dict):
+    def __init__(self, cfg, params: Dict, dae_params: Dict = None):
         super().__init__()
         if cfg.model_type not in ("mlp", "linear"):
             raise ValueError("parity mirror supports BatchNorm-free "
@@ -87,6 +87,18 @@ class TorchSRLMirror(nn.Module):
         self.cfg = cfg
         self.registry: Registry = []
         self.encoder = _mlp(params["encoder"], self.registry, ("encoder",))
+        if dae_params is not None:
+            # frozen pretrained-DAE encoder for the perceptual loss:
+            # constants (never stepped), gradients flow through its INPUT
+            names = sorted((k for k in dae_params["encoder"]
+                            if k.startswith("Dense_")),
+                           key=lambda n: int(n.split("_")[1]))
+            self.frozen_dae = [
+                (torch.from_numpy(np.ascontiguousarray(
+                    np.asarray(dae_params["encoder"][n]["kernel"],
+                               np.float32).T)),
+                 _t(dae_params["encoder"][n]["bias"]))
+                for n in names]
         if cfg.use_decoder:
             self.decoder = _mlp(params["decoder"], self.registry,
                                 ("decoder",))
@@ -186,6 +198,20 @@ class TorchSRLMirror(nn.Module):
                 self.normalize(batch["pos_obs"]))
             out["neg_state"], _ = self._encode_raw(
                 self.normalize(batch["neg_obs"]))
+        if "perceptual" in cfg.loss_dict:
+            # frozen-DAE feature space (mirrors learner._build_frozen_dae ->
+            # train_step extras): encode recon and the clean target with the
+            # CONSTANT pretrained encoder; only recon carries gradient
+            def frozen_feats(x: torch.Tensor) -> torch.Tensor:
+                x = x.flatten(1)
+                n = len(self.frozen_dae)
+                for i, (wt, b) in enumerate(self.frozen_dae):
+                    x = torch.nn.functional.linear(x, wt, b)
+                    if i < n - 1:
+                        x = torch.relu(x)
+                return x
+            out["feat_recon"] = frozen_feats(out["recon"])
+            out["feat_target"] = frozen_feats(obs)
         if cfg.use_episode_prior:
             # decision #4's adversarial topology: the discriminator learns
             # on DETACHED states; the encoder fools a WEIGHT-FROZEN
@@ -229,10 +255,12 @@ def _safe_norm(x: torch.Tensor) -> torch.Tensor:
 
 
 def torch_total_loss(cfg, out: Dict[str, torch.Tensor],
-                     batch: Dict[str, np.ndarray]
+                     batch: Dict[str, np.ndarray],
+                     params: List[torch.Tensor] = None
                      ) -> Tuple[torch.Tensor, Dict[str, float]]:
     """Weighted total per the documented objectives (SURVEY §2.6 /
-    DESIGN_DECISIONS #1-#3, #12). Training batches only (valid all-ones)."""
+    DESIGN_DECISIONS #1-#3, #12). Training batches only (valid all-ones).
+    ``params`` (every trainable tensor) is required when l1/l2 > 0."""
     w = cfg.loss_dict
     metrics: Dict[str, float] = {}
     total = torch.zeros(())
@@ -287,6 +315,21 @@ def torch_total_loss(cfg, out: Dict[str, torch.Tensor],
         d_pos = _safe_norm(a - _slice(out["pos_state"], sl))
         d_neg = _safe_norm(a - _slice(out["neg_state"], sl))
         add("triplet", torch.clamp(d_pos - d_neg + 1.0, min=0.0).mean())
+    if "perceptual" in w:
+        add("perceptual", _mse(out["feat_recon"], out["feat_target"]))
+    if "reward-prior" in w:
+        # decision #3: maximize squared batch covariance between each state
+        # dim and the centered reward (mean-weighted, valid all-ones)
+        sl = cfg.slices["reward-prior"]
+        s = _slice(state, sl)
+        r = _t(batch["rewards"])
+        s_c = s - s.mean(dim=0, keepdim=True)
+        r_c = r - r.mean()
+        cov = (s_c * r_c[:, None]).mean(dim=0)
+        add("reward-prior", -(cov ** 2).mean())
+    if "supervised" in w:
+        sl = cfg.slices["supervised"]
+        add("supervised", _mse(_slice(state, sl), _t(batch["gt_states"])))
     if "episode-prior" in w:
         # documented stable BCE; discriminator at weight 1, encoder fooling
         # (flipped labels) at the loss weight
@@ -300,8 +343,20 @@ def torch_total_loss(cfg, out: Dict[str, torch.Tensor],
         metrics["episode-prior/discriminator"] = float(d_loss.detach())
         metrics["episode-prior"] = float(e_loss.detach())
         total = total + d_loss + w["episode-prior"] * e_loss
-    assert cfg.l1_reg == 0 and cfg.l2_reg == 0, \
-        "parity harness does not wire the parameter regularizers"
+    if cfg.l1_reg > 0 or cfg.l2_reg > 0:
+        # parameter regularizers: size-normalized over EVERY trainable
+        # tensor (sum|p|/n, sum p**2/n) — transpose-invariant, so the
+        # torch-stored kernel layout does not matter
+        assert params, "pass params=list(mirror.parameters()) for l1/l2"
+        n = float(sum(p.numel() for p in params))
+        if cfg.l1_reg > 0:
+            l1 = sum(p.abs().sum() for p in params) / n
+            metrics["l1_reg"] = float(l1.detach())
+            total = total + cfg.l1_reg * l1
+        if cfg.l2_reg > 0:
+            l2 = sum((p ** 2).sum() for p in params) / n
+            metrics["l2_reg"] = float(l2.detach())
+            total = total + cfg.l2_reg * l2
     metrics["total"] = float(total.detach())
     return total, metrics
 
