@@ -116,6 +116,24 @@ def _mean_metrics(metric_dicts: list, cfg=None) -> Dict[str, float]:
     return means
 
 
+# XLA's CPU backend executes each device's program on a shared thread pool,
+# and a thread that reaches a cross-device collective BLOCKS in the
+# rendezvous until every participant arrives. With enough collective-bearing
+# dispatches in flight, the pool fills with executions blocked in DIFFERENT
+# rendezvous and the whole client hard-aborts after 40 s ("Expected 8
+# threads to join the rendezvous, but only N arrived"). Measured on this
+# image (8 virtual devices, 1 core): 31 async streaming train steps
+# deadlock, 25 pass. Streaming loops therefore fence a tiny metric scalar
+# every K dispatches ON MULTI-DEVICE CPU MESHES ONLY — the virtual-mesh test
+# path; real-TPU runs keep the fully-async dispatch pipeline (per-step
+# fences through the remote tunnel measured 5x slower, docs/PERF.md).
+_CPU_MESH_FENCE_EVERY = 8
+
+
+def _needs_dispatch_fence(mesh) -> bool:
+    return jax.default_backend() == "cpu" and mesh.devices.size > 1
+
+
 class SRL4robotics:
     """Build / learn / predict / save — the reference's learner surface."""
 
@@ -491,6 +509,7 @@ class SRL4robotics:
         step = int(jax.device_get(self.state.step))
         val_metrics: Dict[str, float] = {}
         profiling = False
+        fence_dispatches = _needs_dispatch_fence(self.mesh)
         try:
             for epoch in range(start_epoch, cfg.epochs):
                 if profile and epoch == start_epoch:
@@ -530,6 +549,12 @@ class SRL4robotics:
                                 # on-device bytes into the store (no-op
                                 # outside a pending rotation)
                                 self._hot_store.maybe_adopt(host_idx, sharded)
+                            if fence_dispatches and \
+                                    len(acc) % _CPU_MESH_FENCE_EVERY == 0:
+                                # bound in-flight collective executions on
+                                # multi-device CPU meshes (see
+                                # _CPU_MESH_FENCE_EVERY)
+                                jax.device_get(metrics["_n_valid"])
                 train_metrics = _mean_metrics(acc, cfg)
                 dt = time.time() - t_epoch
                 ips = n_images / max(dt, 1e-9)
@@ -638,6 +663,7 @@ class SRL4robotics:
     def _run_eval(self, phases, cache, rng) -> Dict[str, float]:
         """One masked-exact eval pass over the given loader phases."""
         vacc = []
+        fence_dispatches = _needs_dispatch_fence(self.mesh)
         for loader, use_cache in phases:
             if use_cache:
                 stacked = _stack_batches(list(loader))
@@ -649,6 +675,9 @@ class SRL4robotics:
                                                None))
                     if self._hot_store is not None:
                         self._hot_store.maybe_adopt(host_idx, sharded)
+                    if fence_dispatches and \
+                            len(vacc) % _CPU_MESH_FENCE_EVERY == 0:
+                        jax.device_get(vacc[-1]["_n_valid"])
         return _mean_metrics(vacc, self.cfg)
 
     # ---- inference / export ----------------------------------------------------

@@ -194,7 +194,11 @@ def test_dryrun_multichip_hermetic_in_driver_env():
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "sharded train step OK" in proc.stdout
     assert "epoch scan OK" in proc.stdout
-    assert "SGD equivalence OK" in proc.stdout  # the r3 equivalence gate ran
+    # all THREE production multi-chip training paths passed the 1-vs-n SGD
+    # equivalence gate (r4 extended the r3 single-gate tail to per-mode
+    # strings; this assertion tracks that contract)
+    for mode in ("batch", "scan", "sharded"):
+        assert f"{mode} equivalence OK" in proc.stdout, proc.stdout[-2000:]
 
 
 @pytest.mark.slow
