@@ -27,6 +27,8 @@ class CNNDecoder(nn.Module):
     # the two load each other's checkpoints; pick by measurement
     # (benchmarks/subpixel_bench.py, docs/PERF.md).
     deconv: str = "conv_transpose"
+    # flax convention; 0.9 == torch BatchNorm2d default (decision #23)
+    bn_momentum: float = 0.9
 
     def _deconv(self, idx, features, dtype):
         # Explicit names keep the param tree identical across the two
@@ -48,7 +50,8 @@ class CNNDecoder(nn.Module):
         x = x.reshape((z.shape[0], h0, w0, 64))
         for i, features in enumerate((64, 64, 32, 16)):
             x = self._deconv(i, features, self.dtype)(x)
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=self.bn_momentum, dtype=self.dtype)(x)
             x = nn.relu(x)
         x = self._deconv(4, self.out_channels, jnp.float32)(x)
         # tanh keeps reconstructions in the "tf" normalization range [-1, 1]

@@ -25,6 +25,9 @@ class CustomCNN(nn.Module):
 
     state_dim: int
     dtype: Any = jnp.float32
+    # flax convention ra = m*ra + (1-m)*batch; 0.9 == torch BatchNorm2d's
+    # default semantics (design decision #23, torch-validated r5)
+    bn_momentum: float = 0.9
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -33,6 +36,7 @@ class CustomCNN(nn.Module):
             x = nn.Conv(64, (k, k), strides=(2, 2), use_bias=False,
                         dtype=self.dtype)(x)
             x = nn.BatchNorm(use_running_average=not train,
+                             momentum=self.bn_momentum,
                              dtype=self.dtype)(x)
             x = nn.relu(x)
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
@@ -67,18 +71,21 @@ class LinearEncoder(nn.Module):
         return nn.Dense(self.state_dim, dtype=jnp.float32)(x)
 
 
-def make_encoder(model_type: str, state_dim: int, dtype=jnp.float32) -> nn.Module:
+def make_encoder(model_type: str, state_dim: int, dtype=jnp.float32,
+                 bn_momentum: float = 0.9) -> nn.Module:
     """Encoder factory keyed by the ``--model-type`` flag
     (reference: train.py / models/modules.py model selection)."""
     if model_type == "custom_cnn":
-        return CustomCNN(state_dim=state_dim, dtype=dtype)
+        return CustomCNN(state_dim=state_dim, dtype=dtype,
+                         bn_momentum=bn_momentum)
     if model_type == "resnet":
         from srl_zoo_tpu.models.resnet import ResNet18
         # s2d stem: identical convolution, regrouped for the MXU — wins
         # every interleaved A/B rep on the chip (+1.3% mean, docs/PERF.md
         # attempt 7); param tree is mode-agnostic so checkpoints/ports
         # load either way.
-        return ResNet18(state_dim=state_dim, dtype=dtype, stem="s2d")
+        return ResNet18(state_dim=state_dim, dtype=dtype, stem="s2d",
+                        bn_momentum=bn_momentum)
     if model_type == "mlp":
         return DenseEncoder(state_dim=state_dim, dtype=dtype)
     if model_type == "linear":

@@ -74,6 +74,8 @@ class BasicBlock(nn.Module):
     features: int
     strides: int = 1
     dtype: Any = jnp.float32
+    # flax convention; 0.9 == torch BatchNorm2d default (decision #23)
+    bn_momentum: float = 0.9
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -81,16 +83,19 @@ class BasicBlock(nn.Module):
         y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
                     padding=((1, 1), (1, 1)), use_bias=False,
                     dtype=self.dtype)(x)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=not train,
+                         momentum=self.bn_momentum, dtype=self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, dtype=self.dtype)(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=not train,
+                         momentum=self.bn_momentum, dtype=self.dtype)(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.features, (1, 1),
                                strides=(self.strides, self.strides),
                                use_bias=False, dtype=self.dtype)(residual)
             residual = nn.BatchNorm(use_running_average=not train,
+                                    momentum=self.bn_momentum,
                                     dtype=self.dtype)(residual)
         return nn.relu(y + residual)
 
@@ -100,12 +105,14 @@ class ResNet18(nn.Module):
     stage_sizes: Sequence[int] = (2, 2, 2, 2)
     dtype: Any = jnp.float32
     stem: str = "direct"  # "direct" | "s2d" (see StemConv)
+    bn_momentum: float = 0.9
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         x = StemConv(features=64, mode=self.stem, dtype=self.dtype,
                      name="Conv_0")(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         momentum=self.bn_momentum, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         features = 64
@@ -113,7 +120,8 @@ class ResNet18(nn.Module):
             for block in range(n_blocks):
                 strides = 2 if stage > 0 and block == 0 else 1
                 x = BasicBlock(features=features, strides=strides,
-                               dtype=self.dtype)(x, train=train)
+                               dtype=self.dtype,
+                               bn_momentum=self.bn_momentum)(x, train=train)
             features *= 2
         x = jnp.mean(x, axis=(1, 2))  # global average pool
         return nn.Dense(self.state_dim, dtype=jnp.float32)(x)

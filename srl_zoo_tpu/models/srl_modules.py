@@ -46,7 +46,8 @@ class SRLModules(nn.Module):
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         out_dim = 2 * cfg.state_dim if cfg.use_vae else cfg.state_dim
-        self.encoder = make_encoder(cfg.model_type, out_dim, dtype=dtype)
+        self.encoder = make_encoder(cfg.model_type, out_dim, dtype=dtype,
+                                    bn_momentum=cfg.bn_momentum)
 
         slices = cfg.slices
         if cfg.use_decoder:
@@ -62,7 +63,8 @@ class SRLModules(nn.Module):
             else:
                 self.decoder = CNNDecoder(img_height=cfg.img_height,
                                           img_width=cfg.img_width,
-                                          out_channels=out_ch, dtype=dtype)
+                                          out_channels=out_ch, dtype=dtype,
+                                          bn_momentum=cfg.bn_momentum)
         if cfg.use_forward:
             self.forward_model = ForwardModel(
                 state_dim=slices["forward"][1], n_actions=cfg.n_actions,

@@ -160,3 +160,42 @@ def test_resnet_stem_param_tree_mode_agnostic():
     assert v_d["params"]["Conv_0"]["kernel"].shape == (7, 7, 3, 64)
     assert jax.tree_util.tree_structure(v_d) == \
         jax.tree_util.tree_structure(v_s)
+
+
+def test_bn_momentum_update_rule_and_default():
+    """Decision #23: BatchNorm running averages follow ra = m*ra + (1-m)*
+    batch_stat with the BIASED batch variance, the default momentum is 0.9
+    (torch BatchNorm2d's semantics — flax's own default is 0.99), and the
+    --bn-momentum knob reaches every BN layer. Verified exactly in numpy
+    from one train-mode apply (initial ra: mean 0, var 1)."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 16, 16, 3).astype(np.float32))
+
+    for momentum in (0.9, 0.99):
+        enc = make_encoder("custom_cnn", state_dim=3, bn_momentum=momentum)
+        variables = enc.init(jax.random.PRNGKey(0), x, train=False)
+        _, mutated = enc.apply(variables, x, train=True,
+                               mutable=["batch_stats"])
+        st = mutated["batch_stats"]["BatchNorm_0"]
+
+        # reproduce the first conv's output in numpy via lax (same op the
+        # layer uses), then apply the documented update rule by hand
+        k = variables["params"]["Conv_0"]["kernel"]
+        y = jax.lax.conv_general_dilated(
+            x, k, window_strides=(2, 2), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = np.asarray(y, np.float64)
+        b_mean = y.mean(axis=(0, 1, 2))
+        b_var = y.var(axis=(0, 1, 2))  # BIASED (ddof=0), like torch's
+        # train-mode normalization; torch's RUNNING update would use ddof=1
+        np.testing.assert_allclose(np.asarray(st["mean"]),
+                                   (1.0 - momentum) * b_mean, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(st["var"]),
+                                   momentum * 1.0 + (1.0 - momentum) * b_var,
+                                   rtol=1e-5)
+
+    # the config default is the torch-equivalent 0.9 and the knob validates
+    assert SRLConfig().bn_momentum == 0.9
+    import pytest
+    with pytest.raises(ValueError, match="bn_momentum"):
+        SRLConfig(bn_momentum=1.0)

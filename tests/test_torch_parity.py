@@ -92,7 +92,8 @@ def _run_parity(ds, cfg, n_steps=4):
                                  dae_feature_fn=dae_feature_fn)
 
     mirror = TorchSRLMirror(cfg, jax.device_get(state.params),
-                            dae_params=dae_params)
+                            dae_params=dae_params,
+                            batch_stats=jax.device_get(state.batch_stats))
     topt = torch.optim.SGD(mirror.parameters(), lr=lr)
 
     loader = DataLoader(ds, ds.training_indices(), cfg, shuffle=True,
@@ -144,6 +145,14 @@ def _run_parity(ds, cfg, n_steps=4):
 
     assert_params_close(jax.device_get(state.params), mirror,
                         rtol=PARAM_RTOL, atol=PARAM_ATOL)
+    if cfg.model_type == "custom_cnn":
+        # decision #23: post-run BatchNorm running buffers agree with
+        # torch's (means to float noise; vars to the documented
+        # biased/unbiased bound)
+        from torch_parity_lib import assert_batch_stats_close
+        assert_batch_stats_close(
+            jax.device_get(state.batch_stats)["encoder"],
+            mirror.encoder_cnn)
     # the runs actually trained (loss moved), so parity wasn't vacuous
     assert losses_seen[0] != losses_seen[-1]
 
@@ -279,6 +288,20 @@ def test_parity_perceptual_sgd(synthetic_dataset, mlp_dae_log, tmp_path):
     _run_parity(synthetic_dataset,
                 _cfg(synthetic_dataset, tmp_path, (("perceptual", 1.0),),
                      path_to_dae=mlp_dae_log))
+
+
+def test_parity_custom_cnn_bn_sgd(synthetic_dataset, tmp_path):
+    """Decision #23: the BatchNorm-carrying flagship encoder (custom_cnn:
+    conv stride-2 SAME -> BN -> relu -> max-pool SAME, x3, dense) agrees
+    step-level with an independent torch mirror built from torch's OWN
+    BatchNorm2d at momentum 1-bn_momentum — validating SAME-padding
+    geometry, train-mode BN normalization (biased batch variance), the
+    running-average update rule, and the SGD step through all of it. The
+    encoder-only inverse objective keeps the mirror decoder-free; next_obs
+    encoding exercises the two-updates-per-step BN buffer order too."""
+    _run_parity(synthetic_dataset,
+                _cfg(synthetic_dataset, tmp_path, (("inverse", 1.0),),
+                     model_type="custom_cnn"))
 
 
 def test_parity_episode_prior_sgd(synthetic_dataset, tmp_path):

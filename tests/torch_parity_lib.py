@@ -75,18 +75,99 @@ def _slice(x: torch.Tensor, sl: Tuple[int, int]) -> torch.Tensor:
     return x[..., start:start + size]
 
 
+def _same_pads(in_sz: int, k: int, s: int) -> Tuple[int, int]:
+    """XLA 'SAME' padding amounts (lo, hi) for one spatial dim: out =
+    ceil(in/s), total = max((out-1)*s + k - in, 0), lo = total//2 — written
+    from the documented convention, torch applies it via F.pad (torch's own
+    symmetric ``padding=`` cannot express the asymmetric hi > lo case)."""
+    out = -(-in_sz // s)
+    total = max((out - 1) * s + k - in_sz, 0)
+    return total // 2, total - total // 2
+
+
+class _TorchCustomCNN(nn.Module):
+    """Torch mirror of the custom_cnn encoder (decision #23): three blocks of
+    [conv 64 stride-2 SAME no-bias -> BatchNorm2d -> relu -> max-pool 3x3
+    stride-2 SAME] then Dense to state_dim. BatchNorm2d carries torch's OWN
+    train-mode semantics (normalize by the biased batch variance, running
+    buffers at momentum = 1 - flax_momentum on torch's complementary
+    convention) — agreement validates the flax side's BN math against live
+    torch. Input/flatten stay in NHWC orientation to match the flax Dense
+    kernel ordering; conv kernels map HWIO -> OIHW."""
+
+    def __init__(self, params: Dict, batch_stats: Dict, registry: Registry,
+                 bn_momentum: float, path: Tuple[str, ...]):
+        super().__init__()
+        convs, bns = [], []
+        self.kernel_sizes = (7, 3, 3)
+        for i in range(len(self.kernel_sizes)):
+            kern = np.asarray(params[f"Conv_{i}"]["kernel"], np.float32)
+            w = nn.Parameter(torch.from_numpy(
+                np.ascontiguousarray(kern.transpose(3, 2, 0, 1))))
+            registry.append((path + (f"Conv_{i}", "kernel"), w, "conv"))
+            bn = nn.BatchNorm2d(kern.shape[3], eps=1e-5,
+                                momentum=1.0 - bn_momentum)
+            bnp = params[f"BatchNorm_{i}"]
+            bn.weight.data = _t(bnp["scale"])
+            bn.bias.data = _t(bnp["bias"])
+            st = batch_stats[f"BatchNorm_{i}"]
+            bn.running_mean.data = _t(st["mean"])
+            bn.running_var.data = _t(st["var"])
+            registry.append((path + (f"BatchNorm_{i}", "scale"), bn.weight,
+                             False))
+            registry.append((path + (f"BatchNorm_{i}", "bias"), bn.bias,
+                             False))
+            convs.append(w)
+            bns.append(bn)
+        self.convs = nn.ParameterList(convs)
+        self.bns = nn.ModuleList(bns)
+        self.dense = _lin(params["Dense_0"], registry, path + ("Dense_0",))
+        # per-BN reduce counts (B*H*W), recorded at forward time: the
+        # biased/unbiased running-var gap is bounded by 1/(n-1) per layer
+        self.bn_counts: List[int] = [0] * len(bns)
+
+    def forward(self, x: torch.Tensor) -> torch.Tensor:
+        x = x.permute(0, 3, 1, 2)  # NHWC -> NCHW for torch conv/pool
+        for i, (w, bn) in enumerate(zip(self.convs, self.bns)):
+            k = self.kernel_sizes[i]
+            (t, b), (l, r) = (_same_pads(x.shape[2], k, 2),
+                              _same_pads(x.shape[3], k, 2))
+            x = torch.nn.functional.conv2d(
+                torch.nn.functional.pad(x, (l, r, t, b)), w, stride=2)
+            self.bn_counts[i] = x.shape[0] * x.shape[2] * x.shape[3]
+            x = torch.relu(bn(x))
+            (t, b), (l, r) = (_same_pads(x.shape[2], 3, 2),
+                              _same_pads(x.shape[3], 3, 2))
+            x = torch.nn.functional.max_pool2d(
+                torch.nn.functional.pad(x, (l, r, t, b),
+                                        value=-float("inf")),
+                kernel_size=3, stride=2)
+        x = x.permute(0, 2, 3, 1).flatten(1)  # back to NHWC flatten order
+        return self.dense(x)
+
+
 class TorchSRLMirror(nn.Module):
     """Torch mirror of SRLModules for mlp/linear encoders: same weights,
     same outputs dict, built directly from the flax param tree."""
 
-    def __init__(self, cfg, params: Dict, dae_params: Dict = None):
+    def __init__(self, cfg, params: Dict, dae_params: Dict = None,
+                 batch_stats: Dict = None):
         super().__init__()
-        if cfg.model_type not in ("mlp", "linear"):
-            raise ValueError("parity mirror supports BatchNorm-free "
-                             "encoders (mlp/linear) only")
+        if cfg.model_type not in ("mlp", "linear", "custom_cnn"):
+            raise ValueError("parity mirror supports mlp/linear/custom_cnn "
+                             "encoders only")
         self.cfg = cfg
         self.registry: Registry = []
-        self.encoder = _mlp(params["encoder"], self.registry, ("encoder",))
+        if cfg.model_type == "custom_cnn":
+            if cfg.use_decoder:
+                raise ValueError("the custom_cnn mirror covers encoder-side "
+                                 "losses (no conv decoder mirror)")
+            self.encoder_cnn = _TorchCustomCNN(
+                params["encoder"], batch_stats["encoder"], self.registry,
+                cfg.bn_momentum, ("encoder",))
+        else:
+            self.encoder = _mlp(params["encoder"], self.registry,
+                                ("encoder",))
         if dae_params is not None:
             # frozen pretrained-DAE encoder for the perceptual loss:
             # constants (never stepped), gradients flow through its INPUT
@@ -130,7 +211,10 @@ class TorchSRLMirror(nn.Module):
         raise ValueError(self.cfg.normalize_mode)
 
     def _encode_raw(self, x: torch.Tensor):
-        out = _run_mlp(self.encoder, x.flatten(1))
+        if self.cfg.model_type == "custom_cnn":
+            out = self.encoder_cnn(x)
+        else:
+            out = _run_mlp(self.encoder, x.flatten(1))
         if self.cfg.use_vae:
             mu, logvar = out.chunk(2, dim=-1)
             return mu, logvar
@@ -370,8 +454,33 @@ def assert_params_close(flax_params: Dict, mirror: TorchSRLMirror,
         for k in path:
             node = node[k]
         got = param.detach().numpy()
-        if transposed:
+        if transposed == "conv":  # torch OIHW -> flax HWIO
+            got = got.transpose(2, 3, 1, 0)
+        elif transposed:
             got = got.T
         np.testing.assert_allclose(
             np.asarray(node), got, rtol=rtol, atol=atol,
             err_msg="/".join(path))
+
+
+def assert_batch_stats_close(flax_stats: Dict,
+                             cnn: "_TorchCustomCNN") -> None:
+    """Post-run BatchNorm running buffers agree with torch's (decision #23).
+    Means must match to float noise (same update rule both sides). Running
+    VARs carry the one documented semantic gap — flax folds the BIASED batch
+    variance into the running average, torch the UNBIASED — so each layer is
+    held to the principled bound 1.5/(n-1), n = its per-channel reduce count
+    (B*H*W). At production geometry (n >= 1e5) the gap is <= 1e-5 relative;
+    the tiny test geometry makes the bound loose on the last block, which is
+    exactly why it is asserted per layer instead of with one global rtol."""
+    for i, bn in enumerate(cnn.bns):
+        st = flax_stats[f"BatchNorm_{i}"]
+        np.testing.assert_allclose(
+            np.asarray(st["mean"]), bn.running_mean.detach().numpy(),
+            rtol=1e-4, atol=1e-6, err_msg=f"BatchNorm_{i} running mean")
+        n = cnn.bn_counts[i]
+        assert n > 1, "forward never ran"
+        np.testing.assert_allclose(
+            np.asarray(st["var"]), bn.running_var.detach().numpy(),
+            rtol=1.5 / (n - 1) + 1e-4,
+            err_msg=f"BatchNorm_{i} running var (n={n})")

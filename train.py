@@ -68,6 +68,12 @@ def parse_args(argv=None) -> argparse.Namespace:
                         help="Oversample rare reward classes")
     parser.add_argument("--inverse-model-type", type=str, default="linear",
                         choices=["linear", "mlp"])
+    parser.add_argument("--bn-momentum", type=float, default=0.9,
+                        help="BatchNorm running-average momentum, flax "
+                             "convention ra = m*ra + (1-m)*batch. Default "
+                             "0.9 = torch BatchNorm2d's default (the "
+                             "reference's semantics); flax's own default "
+                             "is 0.99 (design decision #23)")
     parser.add_argument("--grad-accum", type=int, default=1,
                         help="Accumulate gradients over N minibatches per "
                              "optimizer update (effective batch = N*bs at "
