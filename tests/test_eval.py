@@ -127,3 +127,33 @@ def test_enjoy_latent_cli_single_step(trained_ae_cli_run):
     # and the normal multi-step grid still renders
     out = enjoy_main(["--log-folder", log, "--n-dims", "2", "--n-steps", "3"])
     assert os.path.exists(out)
+
+
+def test_gtc_matches_scipy_pearson(rng):
+    """Decision #17 (math half): the correlation matrix is the exact Pearson
+    correlation — cross-checked entry-by-entry against scipy.stats.pearsonr
+    and np.corrcoef (two independent reference implementations), and the GTC
+    scalar equals mean-over-gt-dims of max |corr| computed from scipy's
+    matrix. The CONVENTION (max-|corr| per gt dim) remains a documented
+    design decision; the arithmetic is externally validated."""
+    import scipy.stats
+
+    from srl_zoo_tpu.evaluation.gtc import correlation_matrix
+
+    learned = rng.randn(64, 5).astype(np.float32) * 3.0 + 1.0
+    gt = rng.randn(64, 3).astype(np.float32)
+    gt[:, 0] = learned[:, 2] * -0.5 + 0.1 * gt[:, 0]  # a correlated pair
+
+    corr = correlation_matrix(learned, gt)
+    assert corr.shape == (5, 3)
+    ref = np.empty_like(corr)
+    for i in range(5):
+        for j in range(3):
+            ref[i, j] = scipy.stats.pearsonr(learned[:, i], gt[:, j])[0]
+    np.testing.assert_allclose(corr, ref, rtol=1e-6, atol=1e-9)
+    # second independent reference: np.corrcoef's cross block
+    full = np.corrcoef(learned.T, gt.T)
+    np.testing.assert_allclose(corr, full[:5, 5:], rtol=1e-6, atol=1e-9)
+
+    score, _ = ground_truth_correlation(learned, gt)
+    assert np.isclose(score, np.mean(np.max(np.abs(ref), axis=0)))
