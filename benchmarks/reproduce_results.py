@@ -48,7 +48,9 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--configs", type=int, nargs="+",
-                    default=list(range(1, len(CONFIGS) + 1)))
+                    choices=range(1, len(CONFIGS) + 1),
+                    default=list(range(1, len(CONFIGS) + 1)),
+                    help="1-based config numbers (as in RESULTS.md)")
     args = ap.parse_args()
 
     from train import main as train_main

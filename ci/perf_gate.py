@@ -147,38 +147,49 @@ def gate_details(base_doc: dict, cur_doc: dict, band: float) -> list:
     for name in sorted(b_det):
         if name.endswith(("_error", "_link_mbps", "_note")):
             continue  # metadata for another row, not a rate
+        if name not in c_det:
+            # a renamed/dropped row must not silently lose gate coverage:
+            # hard-gated families fail (when the current run reports details
+            # at all — a detail-less doc is a legacy format, report-only),
+            # report-only families still print. This check runs BEFORE the
+            # note/methodology skips: a baseline-side note or version bump
+            # must never excuse a row that vanished from the current run.
+            bad = is_chip_row(name) and bool(c_det)
+            rows.append((name, "present in baseline, MISSING from current "
+                               "run", bad))
+            continue
         bm, cm = b_meth.get(name), c_meth.get(name)
         if bm is not None and cm is not None and bm != cm:
             rows.append((name, f"skipped (methodology v{bm} -> v{cm}: "
                                "the two runs measure different things)",
                          False))
             continue
+        if (bm is None) != (cm is None) and (bm or cm) != 1:
+            # one side predates the methodology field. Absence only implies
+            # v1 (the original measurement): BENCH_r03's knn row IS the v1
+            # number, recorded fieldless — comparing it against a declared
+            # v2 run would gate a 2.5x measurement artifact as a perf delta.
+            # A declared v1 vs a fieldless doc gates normally.
+            rows.append((name, f"skipped (methodology v{bm or 1} vs v"
+                               f"{cm or 1}: one doc predates the version "
+                               "field; absence implies v1)", False))
+            continue
         note = c_det.get(name + "_note") or b_det.get(name + "_note")
         if note:
             rows.append((name, f"report-only (measurement note: "
                                f"{str(note)[:120]})", False))
             continue
-        if name not in c_det:
-            # a renamed/dropped row must not silently lose gate coverage:
-            # hard-gated families fail (when the current run reports details
-            # at all — a detail-less doc is a legacy format, report-only),
-            # report-only families still print
-            bad = is_chip_row(name) and bool(c_det)
-            rows.append((name, "present in baseline, MISSING from current "
-                               "run", bad))
-            continue
         b_v, c_v = float(b_det[name]), float(c_det[name])
         if b_v <= 0:
             continue  # row errored in the baseline run — nothing to hold
+        b_l, b_src = row_link(b_det, b_link, name)
+        c_l, c_src = row_link(c_det, c_link, name)
         if is_chip_row(name):
             floor = b_v * (1.0 - band)
             bad = c_v < floor
             rows.append((name, f"{c_v:.1f} vs {b_v:.1f} "
                          f"(floor {floor:.1f})", bad))
-        elif is_link_row(name) and row_link(b_det, b_link, name)[0] \
-                and row_link(c_det, c_link, name)[0]:
-            b_l, b_src = row_link(b_det, b_link, name)
-            c_l, c_src = row_link(c_det, c_link, name)
+        elif is_link_row(name) and b_l and c_l:
             b_eff, c_eff = b_v / b_l, c_v / c_l
             floor = b_eff * (1.0 - 1.5 * band)
             bad = c_eff < floor

@@ -114,28 +114,40 @@ def generate_dataset(
         states = np.asarray(states, np.float32)
 
         # Order matters for crash atomicity (ADVICE r4): the frame memmaps
-        # are renamed into place FIRST, the npz metadata is written LAST —
-        # the npz acts as the completion marker, so an interrupted
-        # generation can never leave fresh metadata pointing at a stale or
-        # missing frames.npy.
+        # are renamed into place FIRST, then ground_truth.npz, and
+        # preprocessed_data.npz is written LAST via tmp+rename — it is the
+        # file every regeneration skip-check and loader keys on, so it must
+        # be the atomic completion marker: an interrupted generation can
+        # never leave it present over stale/missing frames or a missing/
+        # torn ground_truth.npz.
         frames.flush()
         os.rename(fpath + ".tmp", fpath)
         if multi_view:
             frames_2.flush()
             os.rename(f2path + ".tmp", f2path)
-        np.savez(os.path.join(data_folder, "preprocessed_data.npz"),
-                 actions=actions, rewards=rewards,
-                 episode_starts=episode_starts)
-        np.savez(os.path.join(data_folder, "ground_truth.npz"),
-                 ground_truth_states=states,
-                 images_path=np.asarray(images_path),
-                 **({"images_path_2": np.asarray(images_path_2)}
-                    if multi_view else {}),
-                 target_positions=target[None])
+
+        def _savez_atomic(fname: str, **arrs) -> None:
+            path = os.path.join(data_folder, fname)
+            np.savez(path + ".tmp.npz", **arrs)
+            os.rename(path + ".tmp.npz", path)
+
+        _savez_atomic("ground_truth.npz",
+                      ground_truth_states=states,
+                      images_path=np.asarray(images_path),
+                      **({"images_path_2": np.asarray(images_path_2)}
+                         if multi_view else {}),
+                      target_positions=target[None])
+        _savez_atomic("preprocessed_data.npz",
+                      actions=actions, rewards=rewards,
+                      episode_starts=episode_starts)
     finally:
-        # never leave an orphaned multi-GiB .tmp behind on exception
-        for tmp in [fpath + ".tmp"] + ([f2path + ".tmp"] if multi_view
-                                       else []):
+        # never leave an orphaned multi-GiB .tmp (or a torn npz tmp) behind
+        # on exception
+        for tmp in ([fpath + ".tmp"]
+                    + ([f2path + ".tmp"] if multi_view else [])
+                    + [os.path.join(data_folder, f + ".tmp.npz")
+                       for f in ("ground_truth.npz",
+                                 "preprocessed_data.npz")]):
             if os.path.exists(tmp):
                 os.remove(tmp)
 

@@ -37,6 +37,26 @@ def mesh_spans_processes(mesh: Mesh) -> bool:
     return len(procs) > 1
 
 
+def _mesh_process_slot(mesh: Mesh):
+    """(n_participants, slot) for THIS process in the given mesh's batch
+    layout: participants are the processes owning the mesh's devices, in
+    first-appearance order along the (1-D) data axis — the order their
+    device blocks tile the batch axis. Derived from the MESH, not from
+    jax.process_count()/process_index(), so a mesh spanning a strict subset
+    of a job's processes slices correctly; a non-member process raising here
+    beats make_array_from_process_local_data silently mis-assembling."""
+    procs: list = []
+    for d in mesh.devices.flat:
+        if d.process_index not in procs:
+            procs.append(d.process_index)
+    me = jax.process_index()
+    if me not in procs:
+        raise ValueError(
+            f"process {me} owns no devices of this mesh (participants: "
+            f"{procs}) — it cannot contribute batch rows")
+    return len(procs), procs.index(me)
+
+
 def shard_array(arr: np.ndarray, mesh: Mesh) -> jax.Array:
     """Shard ONE array's leading axis over the mesh (replicate when not
     divisible). Process-spanning meshes contribute each process's contiguous
@@ -49,7 +69,7 @@ def shard_array(arr: np.ndarray, mesh: Mesh) -> jax.Array:
         return jax.device_put(arr, replicated_sharding(mesh))
     bs = batch_sharding(mesh)
     if mesh_spans_processes(mesh):
-        pc, pi = jax.process_count(), jax.process_index()
+        pc, pi = _mesh_process_slot(mesh)
         rows = arr.shape[0] // pc
         return jax.make_array_from_process_local_data(
             bs, np.ascontiguousarray(arr[rows * pi:rows * (pi + 1)]))
@@ -68,10 +88,11 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, Any]:
 
     if mesh_spans_processes(mesh):
         # Multi-host: every process builds the same (seeded) global batch;
-        # each contributes only its contiguous row slice. The global array is
-        # assembled across hosts without any cross-DCN data movement beyond
-        # what XLA schedules.
-        pc, pi = jax.process_count(), jax.process_index()
+        # each contributes only its contiguous row slice (slot derived from
+        # the MESH's own process set — see _mesh_process_slot). The global
+        # array is assembled across hosts without any cross-DCN data
+        # movement beyond what XLA schedules.
+        pc, pi = _mesh_process_slot(mesh)
         out = {}
         for k, v in batch.items():
             if v.ndim >= 1 and v.shape[0] % n_dev == 0:

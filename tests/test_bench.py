@@ -474,12 +474,35 @@ def test_perf_gate_methodology_versioning():
     assert rows["cached_knn"][1] is False
     assert "methodology" in rows["cached_knn"][0]
 
-    # one side missing the entry entirely (legacy doc): gate normally —
-    # those docs WERE measured at the versions bench.py now declares
+    # one side missing the entry entirely (legacy doc): absence only implies
+    # v1 — BENCH_r03's knn row IS the v1 number recorded fieldless, so a
+    # legacy baseline vs a declared-v2 current must SKIP (gating it would
+    # read the 2.5x v1->v2 measurement artifact as a perf delta), while a
+    # declared v1 vs a legacy doc gates normally
     legacy = {"value": 17000.0, "detail": {"cached_knn": 3.65e6}}
     rows = {n: (d, b)
             for n, d, b in perf_gate.gate_details(legacy, cur_down, 0.15)}
-    assert rows["cached_knn"][1] is True  # a real regression still fails
+    assert rows["cached_knn"][1] is False
+    assert "predates the version field" in rows["cached_knn"][0]
+    cur_v1 = {"value": 17000.0, "detail": {"cached_knn": 0.5e6},
+              "methodology": {"cached_knn": 1}}
+    rows = {n: (d, b)
+            for n, d, b in perf_gate.gate_details(legacy, cur_v1, 0.15)}
+    assert rows["cached_knn"][1] is True  # same (v1) methodology: gated
+
+    # a hard-gated row that VANISHES from the current run must fail even
+    # when the baseline carries a note or a version bump for it — the
+    # dropped-row check runs before every skip
+    noted_base = {"value": 17000.0,
+                  "detail": {"cached_knn": 3.65e6, "cached_knn_note": "rtt",
+                             "cached_other": 1.0},
+                  "methodology": {"cached_knn": 2}}
+    cur_missing = {"value": 17000.0, "detail": {"cached_other": 1.0}}
+    rows = {n: (d, b)
+            for n, d, b in perf_gate.gate_details(noted_base, cur_missing,
+                                                  0.15)}
+    assert rows["cached_knn"][1] is True
+    assert "MISSING" in rows["cached_knn"][0]
 
 
 def test_perf_gate_noted_rows_report_only():

@@ -374,7 +374,8 @@ def test_synthetic_interrupted_generation_is_clean(tmp_path):
     finally:
         synthetic._generate_into = orig
 
-    leftovers = [f for f in os.listdir(folder) if f.endswith(".tmp")]
+    leftovers = [f for f in os.listdir(folder)
+                 if f.endswith((".tmp", ".tmp.npz"))]
     assert leftovers == [], f"orphaned tmp files: {leftovers}"
     # the completion markers were never written — a loader sees "no
     # dataset", not fresh metadata over missing frames

@@ -202,3 +202,29 @@ def test_mesh_spans_processes_and_local_slicing():
         np.testing.assert_array_equal(np.asarray(sharded["obs"]), arr)
     finally:
         jax.process_count = orig
+
+
+def test_mesh_process_slot_subset_meshes(monkeypatch):
+    """Batch slicing is derived from the MESH's own process set (first-
+    appearance order along the data axis), not jax.process_count(): a mesh
+    spanning a strict subset of a job's processes gets correct halves, and
+    a non-member process raises instead of feeding rows it does not own."""
+    import types
+
+    import pytest
+
+    from srl_zoo_tpu.parallel import mesh as pm
+
+    class D:
+        def __init__(self, p):
+            self.process_index = p
+
+    m = types.SimpleNamespace(
+        devices=np.array([D(2), D(2), D(5), D(5)], dtype=object))
+    monkeypatch.setattr(pm.jax, "process_index", lambda: 2)
+    assert pm._mesh_process_slot(m) == (2, 0)
+    monkeypatch.setattr(pm.jax, "process_index", lambda: 5)
+    assert pm._mesh_process_slot(m) == (2, 1)
+    monkeypatch.setattr(pm.jax, "process_index", lambda: 0)
+    with pytest.raises(ValueError, match="owns no devices"):
+        pm._mesh_process_slot(m)

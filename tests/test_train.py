@@ -778,3 +778,38 @@ def test_pair_term_epoch_metrics_exact(synthetic_dataset, tmp_path):
     np.testing.assert_allclose(got["total"], sum(exact.values()), rtol=2e-4)
     # the internal weight keys never leak into logged output
     assert not any(k.startswith("_") for k in got)
+
+
+def test_resume_preserves_pre_r5_bn_momentum(synthetic_dataset, tmp_path):
+    """A run recorded WITHOUT the bn-momentum exp_config key (i.e. trained
+    before the key existed, at the then-default flax 0.99) and resumed
+    through train.py must keep 0.99: the argparse default (0.9) must not
+    silently flip BN semantics mid-training nor overwrite the record of what
+    the run trained at (design decision #23). An EXPLICIT --bn-momentum on
+    the resume command still wins."""
+    import json
+
+    from train import main as train_main
+
+    ds = synthetic_dataset
+    log = str(tmp_path / "pre_r5")
+    base = ["--data-folder", ds.data_folder, "--losses", "autoencoder",
+            "--model-type", "mlp", "--epochs", "1", "--state-dim", "4",
+            "-bs", "16", "--log-folder", log, "--no-display-plots"]
+    train_main(base)
+
+    # simulate a pre-r5 exp_config: drop the key the old format never had
+    p = os.path.join(log, "exp_config.json")
+    with open(p) as f:
+        cfgd = json.load(f)
+    del cfgd["bn-momentum"]
+    with open(p, "w") as f:
+        json.dump(cfgd, f)
+
+    resume = [a if a != "1" else "2" for a in base] + ["--resume"]
+    train_main(resume)
+    assert SRLConfig.load(log).bn_momentum == 0.99
+
+    train_main([a if a != "2" else "3" for a in resume]
+               + ["--bn-momentum", "0.9"])
+    assert SRLConfig.load(log).bn_momentum == 0.9

@@ -21,7 +21,8 @@ import sys
 
 import numpy as np
 
-from srl_zoo_tpu.config import build_config, parse_loss_arguments
+from srl_zoo_tpu.config import (SRLConfig, build_config,
+                                parse_loss_arguments)
 from srl_zoo_tpu.data.schema import load_dataset, save_states_rewards
 from srl_zoo_tpu.evaluation.gtc import ground_truth_correlation
 from srl_zoo_tpu.plotting.representation_plot import (plot_correlation,
@@ -219,6 +220,19 @@ def main(argv=None):
     img_shape = None
     if dataset.frames is not None:
         img_shape = tuple(dataset.frames.shape[1:])
+    if args.resume and os.path.exists(os.path.join(log_folder,
+                                                   "exp_config.json")):
+        # a resumed run must keep its TRAINING-TIME BatchNorm momentum: the
+        # saved exp_config is authoritative (configs recorded before the
+        # bn-momentum key existed trained at the then-default flax 0.99 —
+        # config.from_exp_config encodes that). Rebuilding from argparse
+        # defaults would silently flip a pre-r5 run to 0.9 mid-training AND
+        # overwrite the record of what it trained at (design decision #23).
+        saved = SRLConfig.load(log_folder)
+        explicit = any(a.startswith("--bn-momentum")
+                       for a in (argv if argv is not None else sys.argv[1:]))
+        if not explicit:
+            args.bn_momentum = saved.bn_momentum
     cfg = build_config(args, losses, split_dims,
                        n_actions=dataset.n_actions,
                        n_reward_classes=dataset.n_reward_classes,
