@@ -73,13 +73,30 @@ def main(argv=None) -> int:
     printGreen(f"frame-cache budget: {budget / 2**30:.1f} GiB/device "
                "(override: SRL_ZOO_CACHE_BUDGET_MB)")
 
+    link_sick = False
     if not args.skip_bandwidth:
-        bw = measure_link_bandwidth()
-        msg = f"host->device link: {bw:.0f} MB/s"
-        frame = args.img_size * args.img_size * 3
-        msg += (f" => streaming ceiling ~{bw * 1e6 / frame:.0f} img/s "
-                f"at {args.img_size}px")
-        (printGreen if bw > 1000 else printYellow)(msg)
+        from srl_zoo_tpu.utils.platform import run_bounded
+        try:
+            # BOUNDED like bench.py's link probe: the 2026-08-20 outage mode
+            # passes device enumeration (the probe above) but hangs bulk
+            # transfers forever — an unbounded device_put here hung the
+            # doctor, the one tool whose whole job is diagnosing outages
+            bw = run_bounded(measure_link_bandwidth, timeout_s=240,
+                             what="link-bandwidth measurement")
+        except BackendInitTimeout as e:
+            from srl_zoo_tpu.utils import printRed
+            printRed(f"host->device link: MEASUREMENT HUNG ({e})")
+            printRed("diagnosis: device enumeration works but bulk "
+                     "transfers stall — a tunnel/transport outage. "
+                     "Streaming, caching uploads, and bench will hang; "
+                     "retry when the link recovers (ci/tpu_checkup.sh).")
+            link_sick = True
+        else:
+            msg = f"host->device link: {bw:.0f} MB/s"
+            frame = args.img_size * args.img_size * 3
+            msg += (f" => streaming ceiling ~{bw * 1e6 / frame:.0f} img/s "
+                    f"at {args.img_size}px")
+            (printGreen if bw > 1000 else printYellow)(msg)
 
     if args.data_folder:
         from srl_zoo_tpu.data.schema import load_dataset
@@ -109,7 +126,7 @@ def main(argv=None) -> int:
                     f"({100 * hot / ds.n_samples:.0f}% hot); on a "
                     f"{len(devices)}-device mesh, --device-cache sharded "
                     f"caches {min(1.0, len(devices) * hot / ds.n_samples) * 100:.0f}%")
-    return 0
+    return 2 if link_sick else 0
 
 
 if __name__ == "__main__":

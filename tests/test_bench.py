@@ -572,3 +572,33 @@ def test_bench_knn_rtt_guard(monkeypatch):
     rate_unc, note = bench.bench_knn_topk(n=256, d=8, k=3, chain=2, reps=1)
     assert rate_unc > 0
     assert note is not None and "UNCORRECTED" in note
+
+
+def test_perf_gate_known_doc_methodology_resolution():
+    """Fieldless docs of KNOWN provenance (the committed BENCH_r files)
+    resolve their per-row methodology through KNOWN_DOC_METHODOLOGY, so
+    gating coverage is not lost against them; unknown fieldless docs stay
+    conservatively skipped against declared v2+ rows."""
+    perf_gate = _import_perf_gate()
+
+    base = {"value": 17000.0, "detail": {"cached_knn20k_qps": 3.3e6}}
+    cur = {"value": 17000.0, "detail": {"cached_knn20k_qps": 1.0e6},
+           "methodology": {"cached_knn20k_qps": 2}}
+
+    # unknown fieldless baseline vs declared v2: skipped
+    rows = {n: (d, b) for n, d, b in perf_gate.gate_details(base, cur, 0.15)}
+    assert rows["cached_knn20k_qps"][1] is False
+    assert "predates the version field" in rows["cached_knn20k_qps"][0]
+
+    # BENCH_r04 measured the knn row at v2: resolves and GATES — this 3.3x
+    # drop is a real regression and fails
+    rows = {n: (d, b) for n, d, b in perf_gate.gate_details(
+        base, cur, 0.15, base_name="BENCH_r04.json")}
+    assert rows["cached_knn20k_qps"][1] is True
+
+    # BENCH_r03 measured it at v1: known version MISMATCH with a declared
+    # v2 current -> skipped (the exact mis-gating the map exists to prevent)
+    rows = {n: (d, b) for n, d, b in perf_gate.gate_details(
+        base, cur, 0.15, base_name="BENCH_r03.json")}
+    assert rows["cached_knn20k_qps"][1] is False
+    assert "methodology v1 -> v2" in rows["cached_knn20k_qps"][0]

@@ -157,3 +157,27 @@ def test_gtc_matches_scipy_pearson(rng):
 
     score, _ = ground_truth_correlation(learned, gt)
     assert np.isclose(score, np.mean(np.max(np.abs(ref), axis=0)))
+
+
+def test_doctor_diagnoses_hung_link(monkeypatch, capsys):
+    """The 2026-08-20 outage mode passes device enumeration but hangs bulk
+    transfers; the doctor's link measurement must be BOUNDED and produce the
+    transport diagnosis + exit 2, never an infinite hang (it hung for real
+    during the outage — fixed the same day)."""
+    from srl_zoo_tpu.utils import doctor
+    from srl_zoo_tpu.utils import platform as plat
+
+    real = plat.run_bounded
+
+    def fake(fn, timeout_s, what):
+        if "link-bandwidth" in what:
+            raise plat.BackendInitTimeout(
+                f"{what} timed out after {timeout_s}s (simulated outage)")
+        return real(fn, timeout_s, what)
+
+    monkeypatch.setattr(plat, "run_bounded", fake)
+    rc = doctor.main([])
+    out = capsys.readouterr().out
+    assert rc == 2
+    assert "MEASUREMENT HUNG" in out
+    assert "bulk transfers stall" in out
