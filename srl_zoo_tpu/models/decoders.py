@@ -14,6 +14,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from srl_zoo_tpu.models.batchnorm import BatchNorm
 from srl_zoo_tpu.ops.subpixel import SubpixelConvTranspose
 
 
@@ -50,7 +51,7 @@ class CNNDecoder(nn.Module):
         x = x.reshape((z.shape[0], h0, w0, 64))
         for i, features in enumerate((64, 64, 32, 16)):
             x = self._deconv(i, features, self.dtype)(x)
-            x = nn.BatchNorm(use_running_average=not train,
+            x = BatchNorm(use_running_average=not train,
                              momentum=self.bn_momentum, dtype=self.dtype)(x)
             x = nn.relu(x)
         x = self._deconv(4, self.out_channels, jnp.float32)(x)

@@ -14,6 +14,8 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from srl_zoo_tpu.models.batchnorm import BatchNorm
+
 
 class CustomCNN(nn.Module):
     """Three conv+BN+ReLU+maxpool blocks, flatten, dense to ``state_dim``.
@@ -35,7 +37,7 @@ class CustomCNN(nn.Module):
         for k in kernel_sizes:
             x = nn.Conv(64, (k, k), strides=(2, 2), use_bias=False,
                         dtype=self.dtype)(x)
-            x = nn.BatchNorm(use_running_average=not train,
+            x = BatchNorm(use_running_average=not train,
                              momentum=self.bn_momentum,
                              dtype=self.dtype)(x)
             x = nn.relu(x)

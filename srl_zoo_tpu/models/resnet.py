@@ -17,6 +17,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 from jax import lax
 
+from srl_zoo_tpu.models.batchnorm import BatchNorm
+
 
 class StemConv(nn.Module):
     """The 7x7 stride-2 stem conv, optionally executed space-to-depth.
@@ -83,18 +85,18 @@ class BasicBlock(nn.Module):
         y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
                     padding=((1, 1), (1, 1)), use_bias=False,
                     dtype=self.dtype)(x)
-        y = nn.BatchNorm(use_running_average=not train,
+        y = BatchNorm(use_running_average=not train,
                          momentum=self.bn_momentum, dtype=self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, dtype=self.dtype)(y)
-        y = nn.BatchNorm(use_running_average=not train,
+        y = BatchNorm(use_running_average=not train,
                          momentum=self.bn_momentum, dtype=self.dtype)(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.features, (1, 1),
                                strides=(self.strides, self.strides),
                                use_bias=False, dtype=self.dtype)(residual)
-            residual = nn.BatchNorm(use_running_average=not train,
+            residual = BatchNorm(use_running_average=not train,
                                     momentum=self.bn_momentum,
                                     dtype=self.dtype)(residual)
         return nn.relu(y + residual)
@@ -111,7 +113,7 @@ class ResNet18(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         x = StemConv(features=64, mode=self.stem, dtype=self.dtype,
                      name="Conv_0")(x)
-        x = nn.BatchNorm(use_running_average=not train,
+        x = BatchNorm(use_running_average=not train,
                          momentum=self.bn_momentum, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

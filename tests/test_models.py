@@ -164,10 +164,11 @@ def test_resnet_stem_param_tree_mode_agnostic():
 
 def test_bn_momentum_update_rule_and_default():
     """Decision #23: BatchNorm running averages follow ra = m*ra + (1-m)*
-    batch_stat with the BIASED batch variance, the default momentum is 0.9
-    (torch BatchNorm2d's semantics — flax's own default is 0.99), and the
-    --bn-momentum knob reaches every BN layer. Verified exactly in numpy
-    from one train-mode apply (initial ra: mean 0, var 1)."""
+    batch_stat with the UNBIASED batch variance (ddof=1 — torch
+    BatchNorm2d's running update; train-mode normalization stays biased),
+    the default momentum is 0.9 (torch's semantics — flax's own default is
+    0.99), and the --bn-momentum knob reaches every BN layer. Verified
+    exactly in numpy from one train-mode apply (initial ra: mean 0, var 1)."""
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(4, 16, 16, 3).astype(np.float32))
 
@@ -186,8 +187,9 @@ def test_bn_momentum_update_rule_and_default():
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         y = np.asarray(y, np.float64)
         b_mean = y.mean(axis=(0, 1, 2))
-        b_var = y.var(axis=(0, 1, 2))  # BIASED (ddof=0), like torch's
-        # train-mode normalization; torch's RUNNING update would use ddof=1
+        b_var = y.var(axis=(0, 1, 2), ddof=1)  # UNBIASED, like torch's
+        # running update (srl_zoo_tpu/models/batchnorm.py); train-mode
+        # normalization uses the biased ddof=0 variance on both sides
         np.testing.assert_allclose(np.asarray(st["mean"]),
                                    (1.0 - momentum) * b_mean, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(st["var"]),
@@ -199,3 +201,47 @@ def test_bn_momentum_update_rule_and_default():
     import pytest
     with pytest.raises(ValueError, match="bn_momentum"):
         SRLConfig(bn_momentum=1.0)
+
+
+def test_torch_batchnorm_forward_bit_identical():
+    """srl_zoo_tpu/models/batchnorm.BatchNorm changes ONLY the running-var
+    fold (unbiased, torch semantics). Everything else — param/stat tree,
+    train- and eval-mode forwards, the running-MEAN update — must be
+    BIT-identical to flax nn.BatchNorm, so checkpoints, the torchvision
+    porter, and the TorchScript exporter are unaffected."""
+    import flax.linen as nn
+
+    from srl_zoo_tpu.models.batchnorm import BatchNorm
+
+    x = jnp.asarray(np.random.RandomState(3).randn(8, 6, 6, 4)
+                    .astype(np.float32))
+    ref = nn.BatchNorm(use_running_average=False, momentum=0.9)
+    ours = BatchNorm(use_running_average=False, momentum=0.9)
+    v_ref = ref.init(jax.random.PRNGKey(0), x)
+    v_ours = ours.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(v_ref) ==
+            jax.tree_util.tree_structure(v_ours))
+
+    y_ref, m_ref = ref.apply(v_ref, x, mutable=["batch_stats"])
+    y_ours, m_ours = ours.apply(v_ours, x, mutable=["batch_stats"])
+    assert bool(jnp.all(y_ref == y_ours)), "train-mode forward diverged"
+    assert bool(jnp.all(m_ref["batch_stats"]["mean"] ==
+                        m_ours["batch_stats"]["mean"]))
+
+    # running var: ours folds the unbiased batch variance (ddof=1)
+    n = 8 * 6 * 6
+    xv = np.asarray(x, np.float64)
+    b_var = xv.var(axis=(0, 1, 2))  # biased
+    np.testing.assert_allclose(
+        np.asarray(m_ours["batch_stats"]["var"]),
+        0.9 * 1.0 + 0.1 * b_var * n / (n - 1), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(m_ref["batch_stats"]["var"]),
+        0.9 * 1.0 + 0.1 * b_var, rtol=1e-6)
+
+    # eval-mode forward from identical stats: bit-identical too
+    y_ref_e = nn.BatchNorm(use_running_average=True,
+                           momentum=0.9).apply(v_ref, x)
+    y_ours_e = BatchNorm(use_running_average=True,
+                         momentum=0.9).apply(v_ref, x)
+    assert bool(jnp.all(y_ref_e == y_ours_e)), "eval-mode forward diverged"

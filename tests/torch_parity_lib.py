@@ -466,20 +466,20 @@ def assert_params_close(flax_params: Dict, mirror: TorchSRLMirror,
 def assert_batch_stats_close(flax_stats: Dict,
                              cnn: "_TorchCustomCNN") -> None:
     """Post-run BatchNorm running buffers agree with torch's (decision #23).
-    Means must match to float noise (same update rule both sides). Running
-    VARs carry the one documented semantic gap — flax folds the BIASED batch
-    variance into the running average, torch the UNBIASED — so each layer is
-    held to the principled bound 1.5/(n-1), n = its per-channel reduce count
-    (B*H*W). At production geometry (n >= 1e5) the gap is <= 1e-5 relative;
-    the tiny test geometry makes the bound loose on the last block, which is
-    exactly why it is asserted per layer instead of with one global rtol."""
+    Both buffers now follow torch's exact semantics — the running update
+    folds the UNBIASED batch variance (srl_zoo_tpu/models/batchnorm.py,
+    round-5 final session; the flax-biased-fold gap this assertion used to
+    allow for via a 1.5/(n-1) band is gone) — so mean AND var are held to
+    the same float-cascade tolerance."""
     for i, bn in enumerate(cnn.bns):
         st = flax_stats[f"BatchNorm_{i}"]
         # rtol 5e-3: after several SGD steps the frameworks' weights differ
         # by float noise (params held to 1e-3), which cascades into the
-        # batch means folded into the running average — measured <=2.4e-3
+        # batch stats folded into the running averages — measured <=2.4e-3
         # relative over 4 steps. Still discriminating: a momentum error
-        # (0.99 vs 0.9) scales the whole buffer ~10x.
+        # (0.99 vs 0.9) scales the whole buffer ~10x, and a regression to
+        # the biased fold shows up at ~1/(n-1) ~ 7e-2 on the deepest block
+        # (n = B*H*W = 16 there; 256 and 4096 on the earlier blocks).
         np.testing.assert_allclose(
             np.asarray(st["mean"]), bn.running_mean.detach().numpy(),
             rtol=5e-3, atol=1e-4, err_msg=f"BatchNorm_{i} running mean")
@@ -487,5 +487,5 @@ def assert_batch_stats_close(flax_stats: Dict,
         assert n > 1, "forward never ran"
         np.testing.assert_allclose(
             np.asarray(st["var"]), bn.running_var.detach().numpy(),
-            rtol=1.5 / (n - 1) + 1e-4,
+            rtol=5e-3, atol=1e-4,
             err_msg=f"BatchNorm_{i} running var (n={n})")
